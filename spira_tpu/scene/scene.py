@@ -1,0 +1,160 @@
+"""Scene pytree and built-in scene builders.
+
+The Scene *is* the device representation (SoA pytrees) — contrast with the
+reference which keeps `Scene(spheres, materials)` structs
+(`/root/reference/src/spira-metal-optimized.jl:351-354`) and flattens them per
+render (`prepare_scene_data` `:515-542`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from ..core.types import pytree_dataclass, replace
+from .geometry import (
+    Spheres,
+    Triangles,
+    empty_spheres,
+    empty_triangles,
+    make_spheres,
+)
+from .materials import Materials, make_materials
+
+
+@pytree_dataclass
+class Scene:
+    """spheres + triangle soup + materials (+ optional BVH, attached later).
+
+    ``bvh`` is ``None`` for brute-force intersection, or a
+    :class:`spira_tpu.accel.bvh.FlatBVH` pytree for accelerated traversal.
+    """
+
+    spheres: Spheres
+    triangles: Triangles
+    materials: Materials
+    bvh: Optional[Any] = None
+
+    def with_bvh(self, bvh) -> "Scene":
+        return replace(self, bvh=bvh)
+
+
+def make_scene(spheres=None, triangles=None, materials=None, bvh=None) -> Scene:
+    return Scene(
+        spheres=spheres if spheres is not None else empty_spheres(),
+        triangles=triangles if triangles is not None else empty_triangles(),
+        materials=materials,
+        bvh=bvh,
+    )
+
+
+def create_scene() -> Scene:
+    """The reference default demo scene, reproduced exactly.
+
+    Materials and spheres from `create_scene` at
+    `/root/reference/src/spira-metal-optimized.jl:429-510` (indices converted
+    to 0-based): diffuse red, grey ground, mirror metal, glass-like metal 0.9,
+    white light with emission 5.
+    """
+    materials = make_materials(
+        [
+            dict(albedo=(0.7, 0.3, 0.3), metallic=0.0, roughness=0.5),
+            dict(albedo=(0.5, 0.5, 0.5), metallic=0.0, roughness=0.9),
+            dict(albedo=(0.8, 0.8, 0.8), metallic=1.0, roughness=0.0),
+            dict(albedo=(0.8, 0.8, 1.0), metallic=0.9, roughness=0.0),
+            dict(
+                albedo=(1.0, 1.0, 1.0),
+                emission=(5.0, 5.0, 5.0),
+                metallic=0.0,
+                roughness=0.0,
+            ),
+        ]
+    )
+    spheres = make_spheres(
+        [
+            ((0.0, 0.0, 0.0), 0.5, 0),
+            ((0.0, -100.5, 0.0), 100.0, 1),
+            ((1.0, 0.0, 0.0), 0.5, 2),
+            ((-1.0, 0.0, 0.0), 0.5, 3),
+            ((0.0, 5.0, 0.0), 1.0, 4),
+        ]
+    )
+    return make_scene(spheres=spheres, materials=materials)
+
+
+def create_cornell_box(light_emission=(15.0, 15.0, 15.0)) -> Scene:
+    """Cornell-style box (BASELINE.json config 2): emissive area light at the
+    ceiling, colored diffuse walls, one metal and one dielectric sphere.
+
+    Not present in the reference (its docs claim spectral/Cornell content that
+    the code lacks — SURVEY.md §0); geometry here is the classic layout
+    normalized to a 2×2×2 box centered at the origin.
+    """
+    import numpy as np
+
+    from .geometry import concat_triangles, make_triangles
+
+    materials = make_materials(
+        [
+            dict(albedo=(0.73, 0.73, 0.73)),  # 0 white walls
+            dict(albedo=(0.65, 0.05, 0.05)),  # 1 red left wall
+            dict(albedo=(0.12, 0.45, 0.15)),  # 2 green right wall
+            dict(albedo=(1.0, 1.0, 1.0), emission=light_emission),  # 3 light
+            dict(albedo=(0.9, 0.9, 0.9), metallic=1.0, roughness=0.05),  # 4
+            dict(  # 5 glass sphere (dielectric, dispersive)
+                albedo=(1.0, 1.0, 1.0),
+                metallic=1.0,
+                roughness=0.0,
+                ior=1.5,
+                transmission=1.0,
+            ),
+        ]
+    )
+
+    def quad(p0, p1, p2, p3, mat):
+        verts = np.asarray([p0, p1, p2, p3], np.float32)
+        faces = np.asarray([[0, 1, 2], [0, 2, 3]], np.int64)
+        return make_triangles(verts, faces, mat)
+
+    s = 1.0  # half-extent
+    quads = [
+        # floor (normal up)
+        quad((-s, -s, -s), (s, -s, -s), (s, -s, s), (-s, -s, s), 0),
+        # ceiling
+        quad((-s, s, -s), (-s, s, s), (s, s, s), (s, s, -s), 0),
+        # back wall (z = -s)
+        quad((-s, -s, -s), (-s, s, -s), (s, s, -s), (s, -s, -s), 0),
+        # left wall (x = -s) red
+        quad((-s, -s, s), (-s, s, s), (-s, s, -s), (-s, -s, -s), 1),
+        # right wall (x = s) green
+        quad((s, -s, -s), (s, s, -s), (s, s, s), (s, -s, s), 2),
+        # ceiling light patch
+        quad(
+            (-0.35, s - 1e-3, -0.35),
+            (-0.35, s - 1e-3, 0.35),
+            (0.35, s - 1e-3, 0.35),
+            (0.35, s - 1e-3, -0.35),
+            3,
+        ),
+    ]
+    triangles = concat_triangles(quads)
+    spheres = make_spheres(
+        [
+            ((-0.45, -0.7, -0.35), 0.3, 4),  # metal
+            ((0.45, -0.7, 0.25), 0.3, 5),  # glass
+        ]
+    )
+    return make_scene(spheres=spheres, triangles=triangles, materials=materials)
+
+
+def cornell_camera(aspect_ratio=1.0):
+    from .camera import make_camera
+
+    return make_camera(
+        lookfrom=(0.0, 0.0, 3.4),
+        lookat=(0.0, 0.0, 0.0),
+        vup=(0.0, 1.0, 0.0),
+        vfov=40.0,
+        aspect_ratio=aspect_ratio,
+    )
