@@ -9,8 +9,10 @@ Public API mirrors the reference package exports
 render, create_scene, render_hybrid_gpu, render_with_cpu) in SoA/pytree form.
 """
 
+from .accel.bvh import FlatBVH, build_bvh_for_triangles, build_two_level
 from .core import rng, vecmath
 from .render import render, render_flat, render_hdr
+from .scene.obj import cube, icosphere, load_obj_mesh, parse_obj
 from .scene.camera import Camera, default_camera, generate_rays, make_camera
 from .scene.geometry import (
     Spheres,
@@ -23,6 +25,7 @@ from .scene.scene import (
     Scene,
     cornell_camera,
     create_cornell_box,
+    create_mesh_scene,
     create_scene,
     make_scene,
 )
@@ -31,12 +34,20 @@ __version__ = "0.1.0"
 
 __all__ = [
     "Camera",
+    "FlatBVH",
+    "build_bvh_for_triangles",
+    "build_two_level",
+    "cube",
+    "icosphere",
+    "load_obj_mesh",
+    "parse_obj",
     "Materials",
     "Scene",
     "Spheres",
     "Triangles",
     "cornell_camera",
     "create_cornell_box",
+    "create_mesh_scene",
     "create_scene",
     "default_camera",
     "generate_rays",

@@ -45,6 +45,7 @@ def trace(
     max_depth: int,
     semantics: str = "physical",
     russian_roulette: bool = True,
+    remat: bool = True,
 ):
     """Estimate radiance for a wavefront of rays.
 
@@ -56,15 +57,16 @@ def trace(
       semantics: "physical" (MSL megakernel) or "reference" (CPU fallback).
     Returns (N,3) radiance.
     """
-    n = origins.shape[0]
-    f32 = origins.dtype
-
+    # Init carries derive from the ray arrays (not fresh constants) so that
+    # under shard_map they carry the same varying-over-mesh-axes type as the
+    # loop body's outputs; XLA folds the no-op arithmetic.
+    zeros = origins * 0.0
     init = (
         origins,
         directions,
-        jnp.ones((n, 3), f32),  # path throughput
-        jnp.zeros((n, 3), f32),  # accumulated radiance
-        jnp.ones((n,), bool),  # alive mask
+        zeros + 1.0,  # path throughput
+        zeros,  # accumulated radiance
+        zeros[:, 0] < 1.0,  # alive mask (all True)
     )
 
     step = partial(
@@ -75,11 +77,18 @@ def trace(
         russian_roulette=russian_roulette,
     )
 
-    (_, _, _, radiance, _), _ = jax.lax.scan(
-        lambda carry, b: (step(carry, b), None),
-        init,
-        jnp.arange(max_depth),
-    )
+    body = lambda carry, b: (step(carry, b), None)
+    if remat:
+        # Path-replay backprop: checkpoint each bounce so reverse-mode stores
+        # only the (ray, throughput, radiance, alive) carry per bounce and
+        # re-traces the bounce (re-deriving its randomness from the threefry
+        # counters) instead of saving intersection/scatter intermediates.
+        # Without this, differentiating the nested spp×bounce scans
+        # materializes an (spp, depth, n_rays, 3) residual tape — 24 GB at
+        # the 640×360 spp=16 flagship config.
+        body = jax.checkpoint(body)
+
+    (_, _, _, radiance, _), _ = jax.lax.scan(body, init, jnp.arange(max_depth))
     return radiance
 
 

@@ -1,0 +1,95 @@
+"""Tile- and sample-sharded rendering over a device mesh.
+
+New-build territory per SURVEY.md §2.8 (the reference is single-device): the
+image's pixel rows are sharded over the ``tile`` mesh axis, Monte-Carlo
+samples over the ``spp`` axis; the scene pytree is replicated.  The per-shard
+body is the same `accumulate_rows` loop as the single-chip renderer — the
+only collective is one `psum` (mean over the sample axis), which rides ICI.
+
+The per-bounce host sync of the reference wavefront driver
+(`/root/reference/src/spira-metal-optimized.jl:1309`) has no analogue here:
+all control flow stays on device, shards never communicate during tracing.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..core import rng as srng
+from ..io import image as img_io
+from ..render import accumulate_rows
+
+
+@lru_cache(maxsize=64)
+def _make_sharded_renderer(
+    width, height, mesh, spp, max_depth, seed, semantics, inclusive_uv
+):
+    n_tile = mesh.shape["tile"]
+    n_spp_axis = mesh.shape.get("spp", 1)
+    if height % n_tile != 0:
+        raise ValueError(f"height {height} not divisible by tile axis {n_tile}")
+    if spp % n_spp_axis != 0:
+        raise ValueError(f"spp {spp} not divisible by spp axis {n_spp_axis}")
+    rows_per = height // n_tile
+    spp_per = spp // n_spp_axis
+
+    def shard_body(scene, camera):
+        t = jax.lax.axis_index("tile")
+        s = jax.lax.axis_index("spp")
+        acc = accumulate_rows(
+            scene,
+            camera,
+            srng.base_key(seed),
+            width=width,
+            height=height,
+            row_start=t * rows_per,
+            n_rows=rows_per,
+            sample_offset=s * spp_per,
+            n_samples=spp_per,
+            max_depth=max_depth,
+            semantics=semantics,
+            inclusive_uv=inclusive_uv,
+        )
+        # Mean over every sample on every spp-shard: one ICI all-reduce.
+        return jax.lax.psum(acc, "spp") / jnp.float32(spp)
+
+    return jax.jit(
+        shard_map(shard_body, mesh=mesh, in_specs=(P(), P()), out_specs=P("tile"))
+    )
+
+
+def render_flat_sharded(
+    scene,
+    camera,
+    *,
+    width: int,
+    height: int,
+    mesh: Mesh,
+    spp: int = 16,
+    max_depth: int = 4,
+    seed: int = 0,
+    semantics: str = "physical",
+    inclusive_uv: bool = True,
+):
+    """Render to a flat (H*W, 3) HDR buffer, sharded over ``mesh``.
+
+    ``height`` must divide by the tile-axis size and ``spp`` by the spp-axis
+    size (pad upstream if needed).  The returned array is laid out with
+    `P('tile')` on the ray axis.
+    """
+    fn = _make_sharded_renderer(
+        width, height, mesh, spp, max_depth, seed, semantics, inclusive_uv
+    )
+    return fn(scene, camera)
+
+
+def render_hdr_sharded(scene, camera, width, height, mesh, **kw):
+    flat = render_flat_sharded(
+        scene, camera, width=width, height=height, mesh=mesh, **kw
+    )
+    return img_io.assemble_image(flat, width, height)

@@ -53,22 +53,77 @@ def render_flat(
     if spp < 1:
         raise ValueError(f"spp must be >= 1, got {spp}")
     base = srng.base_key(seed)
-    n = width * height
+    return accumulate_rows(
+        scene,
+        camera,
+        base,
+        width=width,
+        height=height,
+        row_start=0,
+        n_rows=height,
+        sample_offset=0,
+        n_samples=spp,
+        max_depth=max_depth,
+        semantics=semantics,
+        inclusive_uv=inclusive_uv,
+    ) / jnp.float32(spp)
 
-    def sample_step(acc, sample_idx):
-        skey = srng.sample_key(base, sample_idx)
+
+def accumulate_rows(
+    scene,
+    camera,
+    base_key,
+    *,
+    width: int,
+    height: int,
+    row_start,
+    n_rows: int,
+    sample_offset,
+    n_samples: int,
+    max_depth: int,
+    semantics: str,
+    inclusive_uv: bool = True,
+):
+    """Sum ``n_samples`` radiance estimates for a row-range of the image.
+
+    The shared inner loop of the single-chip and tile-sharded renderers:
+    ``row_start`` and ``sample_offset`` may be traced (they come from
+    `lax.axis_index` under `shard_map`); ``row_start`` is folded into the
+    per-sample key so tiles draw decorrelated randomness.  Returns the
+    *sum* over samples, shape (n_rows*width, 3) — callers divide by total spp
+    (and `psum` over a sample-sharded mesh axis, the DP analogue of
+    SURVEY.md §2.8).
+    """
+
+    # Each sample is its own checkpoint region: reverse-mode keeps one (N,3)
+    # accumulator per sample and replays the sample's paths for its gradient.
+    @jax.checkpoint
+    def sample_step(acc, k):
+        sample_idx = sample_offset + k
+        skey = srng.sample_key(base_key, sample_idx)
+        skey = jax.random.fold_in(skey, row_start)
         origins, dirs = generate_rays(
-            camera, width, height, skey, inclusive_uv=inclusive_uv
+            camera,
+            width,
+            height,
+            skey,
+            inclusive_uv=inclusive_uv,
+            row_start=row_start,
+            n_rows=n_rows,
         )
         radiance = trace(
             scene, origins, dirs, skey, max_depth=max_depth, semantics=semantics
         )
         return acc + radiance, None
 
-    acc, _ = jax.lax.scan(
-        sample_step, jnp.zeros((n, 3), jnp.float32), jnp.arange(spp)
+    # `+ 0*(row_start + sample_offset)` gives the init accumulator the same
+    # varying-over-mesh-axes type as the loop output when those offsets come
+    # from lax.axis_index under shard_map (no-op arithmetic, folded by XLA).
+    init = jnp.zeros((n_rows * width, 3), jnp.float32) + jnp.float32(0) * (
+        row_start + sample_offset
     )
-    return acc / jnp.float32(spp)
+    acc, _ = jax.lax.scan(sample_step, init, jnp.arange(n_samples))
+    return acc
 
 
 def render_hdr(scene, camera, width, height, **kw) -> jnp.ndarray:

@@ -88,24 +88,31 @@ def default_camera(aspect_ratio) -> Camera:
 
 
 def generate_rays(camera: Camera, width: int, height: int, key, *,
-                  inclusive_uv: bool = True):
-    """Jittered primary rays for every pixel, flattened to a (H*W,) wavefront.
+                  inclusive_uv: bool = True, row_start: int = 0,
+                  n_rows: int | None = None):
+    """Jittered primary rays for a row-range of pixels, flattened to a
+    (n_rows*W,) wavefront.
 
-    Returns (origins (N,3), directions (N,3)) with N = H*W.  Ray index
-    ``r = row * W + col`` where ``row`` counts from the *bottom* of the image
-    (reference v convention); :func:`spira_tpu.io.image.assemble_image` flips.
+    Returns (origins (N,3), directions (N,3)).  Ray index
+    ``r = (row - row_start) * W + col`` where ``row`` counts from the *bottom*
+    of the image (reference v convention);
+    :func:`spira_tpu.io.image.assemble_image` flips.  ``row_start``/``n_rows``
+    select the tile a device owns under pixel-sharded rendering (the caller is
+    responsible for folding the tile id into ``key`` so shards decorrelate).
 
     ``inclusive_uv=True`` divides by (dim-1) exactly like the CPU reference
     (`/root/reference/src/spira-metal-optimized.jl:1428-1429`); the MSL kernel
     divides by dim (`/root/reference/src/spira_path_trace_kernel.metal:160`).
     """
-    n = width * height
+    if n_rows is None:
+        n_rows = height
+    n = width * n_rows
     jit_key = srng.bounce_key(key, 0, srng.Stream.PIXEL_JITTER)
     jitter = srng.uniform(jit_key, (n, 2))
 
     idx = jnp.arange(n, dtype=jnp.int32)
     col = (idx % width).astype(jnp.float32)
-    row = (idx // width).astype(jnp.float32)
+    row = (idx // width + row_start).astype(jnp.float32)
 
     du = jnp.float32(width - 1 if inclusive_uv else width)
     dv = jnp.float32(height - 1 if inclusive_uv else height)

@@ -148,6 +148,51 @@ def create_cornell_box(light_emission=(15.0, 15.0, 15.0)) -> Scene:
     return make_scene(spheres=spheres, triangles=triangles, materials=materials)
 
 
+def create_mesh_scene(obj_path: str | None = None, subdivisions: int = 3) -> Scene:
+    """The bunny-tier scene (BASELINE.json config 3 /
+    `/root/reference/tests/bunny-test.jl`): a triangle mesh on a ground
+    sphere under the demo light, traversed through a two-level flat BVH.
+
+    Loads the Stanford bunny (or any OBJ) from ``obj_path`` when given;
+    otherwise substitutes a subdivided icosphere — the reference's own
+    fallback when the bunny download fails
+    (`/root/reference/examples/julia-raytracer.jl:687-691`).
+    """
+    from ..accel.bvh import build_two_level
+    from .obj import icosphere, load_obj_mesh
+
+    materials = make_materials(
+        [
+            dict(albedo=(0.65, 0.55, 0.45), metallic=0.0, roughness=0.6),  # mesh
+            dict(albedo=(0.5, 0.5, 0.5), metallic=0.0, roughness=0.9),  # ground
+            dict(albedo=(1.0, 1.0, 1.0), emission=(5.0, 5.0, 5.0)),  # light
+            dict(albedo=(0.8, 0.8, 0.8), metallic=1.0, roughness=0.05),  # mirror
+        ]
+    )
+    if obj_path is not None:
+        mesh = load_obj_mesh(
+            obj_path, material=0, center=True, normalize=True, scale=0.6,
+            translate=(0.0, 0.1, 0.0),
+        )
+    else:
+        mesh = icosphere(
+            center=(0.0, 0.1, 0.0), radius=0.6, subdivisions=subdivisions,
+            material=0,
+        )
+    mirror = icosphere(center=(1.3, 0.0, -0.6), radius=0.45, subdivisions=2,
+                       material=3)
+    bvh, triangles = build_two_level([mesh, mirror])
+    spheres = make_spheres(
+        [
+            ((0.0, -100.5, 0.0), 100.0, 1),
+            ((0.0, 5.0, 0.0), 1.0, 2),
+        ]
+    )
+    return make_scene(
+        spheres=spheres, triangles=triangles, materials=materials, bvh=bvh
+    )
+
+
 def cornell_camera(aspect_ratio=1.0):
     from .camera import make_camera
 

@@ -1,0 +1,129 @@
+"""BVH builder + traversal tests.
+
+The traversal is compared exhaustively against brute-force intersection —
+the guard SURVEY.md §7 prescribes after the reference's own left-child-only
+traversal bug (`/root/reference/examples/spira-metal-raytracer.jl:606`)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spira_tpu.accel.bvh import (
+    build_bvh,
+    build_bvh_for_triangles,
+    build_two_level,
+    validate_bvh,
+)
+from spira_tpu.accel.traverse import intersect_bvh
+from spira_tpu.core import vecmath as vm
+from spira_tpu.integrator.intersect import intersect_triangles
+from spira_tpu.scene.geometry import make_triangles, triangle_bounds
+from spira_tpu.scene.obj import cube, icosphere
+
+
+def random_soup(n, seed, spread=4.0):
+    rs = np.random.default_rng(seed)
+    v0 = rs.normal(size=(n, 3)) * spread
+    v1 = v0 + rs.normal(size=(n, 3)) * 0.7
+    v2 = v0 + rs.normal(size=(n, 3)) * 0.7
+    verts = np.concatenate([v0, v1, v2]).astype(np.float32)
+    faces = np.stack(
+        [np.arange(n), np.arange(n) + n, np.arange(n) + 2 * n], axis=1
+    )
+    return make_triangles(verts, faces, np.arange(n) % 7)
+
+
+def random_rays(n, seed, spread=6.0):
+    rs = np.random.default_rng(seed)
+    o = rs.normal(size=(n, 3)).astype(np.float32) * spread
+    d = rs.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def assert_hits_match(bvh_hit, brute_hit, atol=1e-3):
+    np.testing.assert_array_equal(
+        np.asarray(bvh_hit.hit), np.asarray(brute_hit.hit)
+    )
+    m = np.asarray(brute_hit.hit)
+    np.testing.assert_allclose(
+        np.asarray(bvh_hit.t)[m], np.asarray(brute_hit.t)[m], rtol=2e-4,
+        atol=atol,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bvh_hit.material)[m], np.asarray(brute_hit.material)[m]
+    )
+
+
+def test_builder_invariants():
+    tris = random_soup(500, seed=0)
+    lo, hi = triangle_bounds(tris)
+    bvh = build_bvh(lo, hi)
+    validate_bvh(bvh, lo, hi)
+    assert bvh.max_leaf <= 4
+
+
+@pytest.mark.parametrize("n_tris,seed", [(1, 1), (5, 2), (64, 3), (517, 4)])
+def test_traversal_matches_brute_force(n_tris, seed):
+    tris = random_soup(n_tris, seed)
+    bvh = build_bvh_for_triangles(tris)
+    o, d = random_rays(256, seed + 100)
+    bvh_hit = intersect_bvh(bvh, tris, o, d)
+    brute_hit = intersect_triangles(tris, o, d)
+    assert_hits_match(bvh_hit, brute_hit)
+
+
+def test_traversal_icosphere_from_inside_and_outside():
+    tris = icosphere(center=(0, 0, -3), radius=1.0, subdivisions=3)
+    assert tris.count == 20 * 4**3
+    bvh = build_bvh_for_triangles(tris)
+    o, d = random_rays(512, seed=9, spread=3.0)
+    assert_hits_match(
+        intersect_bvh(bvh, tris, o, d), intersect_triangles(tris, o, d)
+    )
+
+
+def test_two_level_matches_brute_force():
+    meshes = [
+        icosphere(center=(-2, 0, -4), radius=1.0, subdivisions=1),
+        cube(center=(2, 0, -4), size=1.5),
+        random_soup(33, seed=5, spread=1.0),
+    ]
+    bvh, tris = build_two_level(meshes)
+    o, d = random_rays(400, seed=11)
+    assert_hits_match(
+        intersect_bvh(bvh, tris, o, d), intersect_triangles(tris, o, d)
+    )
+
+
+def test_two_level_single_mesh():
+    bvh, tris = build_two_level([cube(size=2.0)])
+    o, d = random_rays(64, seed=12, spread=3.0)
+    assert_hits_match(
+        intersect_bvh(bvh, tris, o, d), intersect_triangles(tris, o, d)
+    )
+
+
+def test_scene_with_bvh_renders_mesh():
+    """End-to-end: a scene whose triangles route through the BVH must render
+    identically (statistically) to brute force."""
+    import spira_tpu as st
+    from spira_tpu.render import render_flat
+
+    tris = icosphere(center=(0, 0, 0), radius=0.6, subdivisions=2, material=0)
+    mats = st.make_materials(
+        [dict(albedo=(0.8, 0.3, 0.2), metallic=0.0, roughness=0.5)]
+    )
+    scene_brute = st.make_scene(triangles=tris, materials=mats)
+    scene_bvh = scene_brute.with_bvh(build_bvh_for_triangles(tris))
+    cam = st.make_camera(
+        lookfrom=(0, 0.5, 2.5), lookat=(0, 0, 0), vfov=40.0, aspect_ratio=1.0
+    )
+    a = np.asarray(
+        render_flat(scene_brute, cam, width=24, height=24, spp=4, max_depth=2, seed=3)
+    )
+    b = np.asarray(
+        render_flat(scene_bvh, cam, width=24, height=24, spp=4, max_depth=2, seed=3)
+    )
+    # identical RNG + identical hits → identical images
+    np.testing.assert_allclose(a, b, atol=2e-5)

@@ -65,3 +65,19 @@ def test_emissive_sphere_brighter_than_sky():
     hdr = np.asarray(st.render_hdr(scene, cam, 24, 24, spp=4, max_depth=2))
     center = hdr[12, 12].mean()
     assert center > 3.0  # emission = 5 on the light sphere
+
+
+def test_bunny_tier_mesh_scene_render():
+    """The bunny-test.jl analogue: render the two-level-BVH mesh scene and
+    assert shape + plausible content (SURVEY.md §4 tier)."""
+    scene = st.create_mesh_scene(subdivisions=2)
+    cam = st.make_camera(
+        lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0), vfov=50.0,
+        aspect_ratio=64 / 48,
+    )
+    img = st.render(scene, cam, 64, 48, samples_per_pixel=2, max_depth=3)
+    assert img.shape == (48, 64, 3)
+    a = np.asarray(img, np.float32) / 255.0
+    assert 0.1 < a.mean() < 0.95
+    # mesh occupies the center: center differs from sky at the top corner
+    assert abs(a[24, 32].mean() - a[0, 0].mean()) > 0.02

@@ -1,0 +1,92 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+import spira_tpu as st
+from spira_tpu.parallel.mesh import make_mesh, replicate, tile_sharding
+from spira_tpu.parallel.sharded import render_flat_sharded
+from spira_tpu.render import render_flat
+
+W, H = 32, 16
+
+
+@pytest.fixture(scope="module")
+def scene_cam():
+    return st.create_scene(), st.default_camera(W / H)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(n_tile=4, n_spp=2)
+    assert mesh.shape == {"tile": 4, "spp": 2}
+    mesh1 = make_mesh()
+    assert mesh1.shape["tile"] == len(jax.devices())
+
+
+def test_sharded_render_runs_and_is_sane(scene_cam):
+    scene, cam = scene_cam
+    mesh = make_mesh(n_tile=4, n_spp=2)
+    flat = render_flat_sharded(
+        scene, cam, width=W, height=H, mesh=mesh, spp=8, max_depth=3, seed=0
+    )
+    assert flat.shape == (W * H, 3)
+    a = np.asarray(flat)
+    assert np.isfinite(a).all()
+    # output really is laid out tile-sharded
+    assert len(flat.sharding.device_set) == 8
+
+
+def test_sharded_statistically_matches_single_device(scene_cam):
+    """Tile/spp sharding changes RNG streams, not the estimator: means must
+    agree within MC noise."""
+    scene, cam = scene_cam
+    mesh = make_mesh(n_tile=4, n_spp=2)
+    spp = 48
+    sharded = np.asarray(
+        render_flat_sharded(
+            scene, cam, width=W, height=H, mesh=mesh, spp=spp, max_depth=4,
+            seed=1,
+        )
+    )
+    single = np.asarray(
+        render_flat(scene, cam, width=W, height=H, spp=spp, max_depth=4, seed=2)
+    )
+    assert abs(sharded.mean() - single.mean()) < 0.02
+    assert np.abs(sharded - single).mean() < 0.08
+
+
+def test_tile_shards_differ_because_of_rng_decorrelation(scene_cam):
+    """Different tiles of the ground plane must not repeat identical noise
+    (the row_start fold in accumulate_rows)."""
+    scene, cam = scene_cam
+    mesh = make_mesh(n_tile=4, n_spp=1)
+    flat = np.asarray(
+        render_flat_sharded(
+            scene, cam, width=W, height=H, mesh=mesh, spp=1, max_depth=2, seed=0
+        )
+    ).reshape(H, W, 3)
+    # Rows 0-3 (tile 0) vs rows 4-7 (tile 1) both see mostly ground; the
+    # *noise* must differ even where content is similar.
+    assert np.abs(flat[0] - flat[4]).max() > 1e-4
+
+
+def test_replicate_places_on_all_devices(scene_cam):
+    scene, _ = scene_cam
+    mesh = make_mesh(n_tile=8, n_spp=1)
+    rep = replicate(scene, mesh)
+    assert len(rep.materials.albedo.sharding.device_set) == 8
+
+
+def test_dryrun_multichip_entrypoint():
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    jax.jit(fn).lower(*args)  # trace/lower only; full compile is the
+    # driver's job and takes ~30 s at 640x360
