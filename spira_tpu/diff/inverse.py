@@ -35,6 +35,7 @@ def render_for_grad(
     max_depth: int,
     seed,
     semantics: str = "physical",
+    spectral: bool = False,
     mesh=None,
 ):
     """Differentiable render of `scene` with material overrides from
@@ -74,6 +75,7 @@ def render_for_grad(
             n_samples=spp_per,
             max_depth=max_depth,
             semantics=semantics,
+            spectral=spectral,
         )
 
     if mesh is None:
@@ -99,7 +101,7 @@ def mse_loss(rendered, target):
 
 
 @lru_cache(maxsize=32)
-def _make_step(optimizer, width, height, spp, max_depth, semantics, mesh):
+def _make_step(optimizer, width, height, spp, max_depth, semantics, spectral, mesh):
     def loss_fn(params, scene, camera, target, step_idx):
         img = render_for_grad(
             params,
@@ -111,6 +113,7 @@ def _make_step(optimizer, width, height, spp, max_depth, semantics, mesh):
             max_depth=max_depth,
             seed=step_idx,
             semantics=semantics,
+            spectral=spectral,
             mesh=mesh,
         )
         return mse_loss(img, target)
@@ -142,6 +145,7 @@ def make_inverse_step(
     spp: int,
     max_depth: int,
     semantics: str = "physical",
+    spectral: bool = False,
     learning_rate: float = 2e-2,
     mesh=None,
     optimizer=None,
@@ -155,7 +159,9 @@ def make_inverse_step(
     """
     if optimizer is None:
         optimizer = optax.adam(learning_rate)
-    step = _make_step(optimizer, width, height, spp, max_depth, semantics, mesh)
+    step = _make_step(
+        optimizer, width, height, spp, max_depth, semantics, spectral, mesh
+    )
 
     def init(params):
         return optimizer.init(params)

@@ -36,6 +36,9 @@ def gather_materials(materials, mat_idx):
         "roughness": materials.roughness[mat_idx],
         "ior": materials.ior[mat_idx],
         "transmission": materials.transmission[mat_idx],
+        "cauchy_b": materials.cauchy_b[mat_idx]
+        if materials.cauchy_b is not None
+        else materials.ior[mat_idx] * 0.0,
     }
 
 

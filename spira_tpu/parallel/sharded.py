@@ -27,7 +27,8 @@ from ..render import accumulate_rows
 
 @lru_cache(maxsize=64)
 def _make_sharded_renderer(
-    width, height, mesh, spp, max_depth, seed, semantics, inclusive_uv
+    width, height, mesh, spp, max_depth, seed, semantics, inclusive_uv,
+    spectral,
 ):
     n_tile = mesh.shape["tile"]
     n_spp_axis = mesh.shape.get("spp", 1)
@@ -54,6 +55,7 @@ def _make_sharded_renderer(
             max_depth=max_depth,
             semantics=semantics,
             inclusive_uv=inclusive_uv,
+            spectral=spectral,
         )
         # Mean over every sample on every spp-shard: one ICI all-reduce.
         return jax.lax.psum(acc, "spp") / jnp.float32(spp)
@@ -75,6 +77,7 @@ def render_flat_sharded(
     seed: int = 0,
     semantics: str = "physical",
     inclusive_uv: bool = True,
+    spectral: bool = False,
 ):
     """Render to a flat (H*W, 3) HDR buffer, sharded over ``mesh``.
 
@@ -83,7 +86,8 @@ def render_flat_sharded(
     `P('tile')` on the ray axis.
     """
     fn = _make_sharded_renderer(
-        width, height, mesh, spp, max_depth, seed, semantics, inclusive_uv
+        width, height, mesh, spp, max_depth, seed, semantics, inclusive_uv,
+        spectral,
     )
     return fn(scene, camera)
 

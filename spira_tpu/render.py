@@ -18,6 +18,7 @@ import numpy as np
 
 from .core import rng as srng
 from .integrator.path_trace import trace
+from .integrator.spectral import trace_spectral
 from .io import image as img_io
 from .scene.camera import generate_rays
 
@@ -31,6 +32,7 @@ from .scene.camera import generate_rays
         "max_depth",
         "semantics",
         "inclusive_uv",
+        "spectral",
     ),
 )
 def render_flat(
@@ -44,6 +46,7 @@ def render_flat(
     seed: int = 0,
     semantics: str = "physical",
     inclusive_uv: bool = True,
+    spectral: bool = False,
 ):
     """Render to a flat (H*W, 3) bottom-up HDR radiance buffer (mean of spp).
 
@@ -66,6 +69,7 @@ def render_flat(
         max_depth=max_depth,
         semantics=semantics,
         inclusive_uv=inclusive_uv,
+        spectral=spectral,
     ) / jnp.float32(spp)
 
 
@@ -83,6 +87,7 @@ def accumulate_rows(
     max_depth: int,
     semantics: str,
     inclusive_uv: bool = True,
+    spectral: bool = False,
 ):
     """Sum ``n_samples`` radiance estimates for a row-range of the image.
 
@@ -111,9 +116,15 @@ def accumulate_rows(
             row_start=row_start,
             n_rows=n_rows,
         )
-        radiance = trace(
-            scene, origins, dirs, skey, max_depth=max_depth, semantics=semantics
-        )
+        if spectral:
+            radiance = trace_spectral(
+                scene, origins, dirs, skey, max_depth=max_depth
+            )
+        else:
+            radiance = trace(
+                scene, origins, dirs, skey, max_depth=max_depth,
+                semantics=semantics,
+            )
         return acc + radiance, None
 
     # `+ 0*(row_start + sample_offset)` gives the init accumulator the same
@@ -144,6 +155,7 @@ def render(
     semantics: str = "physical",
     tonemap: str = "gamma",
     inclusive_uv: bool = True,
+    spectral: bool = False,
     output_path: str | None = None,
 ) -> np.ndarray:
     """Render, tone map, optionally save a PNG; returns (H, W, 3) uint8.
@@ -161,6 +173,7 @@ def render(
         seed=seed,
         semantics=semantics,
         inclusive_uv=inclusive_uv,
+        spectral=spectral,
     )
     ldr = img_io.TONEMAPS[tonemap](hdr)
     out = img_io.to_uint8(ldr)

@@ -36,6 +36,13 @@ class Materials:
     roughness: jnp.ndarray
     ior: jnp.ndarray
     transmission: jnp.ndarray
+    # Spectral extension (new capability; reference claims spectra in docs
+    # only, SURVEY.md §0).  Defaults derive from the RGB fields via Smits
+    # upsampling; both tables are differentiable — the "recover albedo SPDs"
+    # targets of BASELINE.json config 4.
+    albedo_spd: jnp.ndarray = None  # (M, N_SPD_BINS)
+    emission_spd: jnp.ndarray = None  # (M, N_SPD_BINS)
+    cauchy_b: jnp.ndarray = None  # (M,) dispersion coeff (µm²): n(λ)=ior+B/λ²
 
     @property
     def count(self) -> int:
@@ -57,11 +64,30 @@ def make_materials(records) -> Materials:
             a = jnp.broadcast_to(a[:, None], (len(records), width))
         return a
 
+    from ..core import colorimetry as cl
+
+    albedo = jnp.asarray([r["albedo"] for r in records], f32)
+    emission = col("emission", (0.0, 0.0, 0.0))
+
+    # Per-record SPD overrides win; otherwise upsample the RGB fields.
+    import numpy as np
+
+    albedo_spd = np.asarray(cl.rgb_to_spd(np.asarray(albedo)))
+    emission_spd = np.asarray(cl.rgb_to_spd(np.asarray(emission)))
+    for i, r in enumerate(records):
+        if "albedo_spd" in r:
+            albedo_spd[i] = np.asarray(r["albedo_spd"], np.float32)
+        if "emission_spd" in r:
+            emission_spd[i] = np.asarray(r["emission_spd"], np.float32)
+
     return Materials(
-        albedo=jnp.asarray([r["albedo"] for r in records], f32),
-        emission=col("emission", (0.0, 0.0, 0.0)),
+        albedo=albedo,
+        emission=emission,
         metallic=col("metallic", 0.0),
         roughness=col("roughness", 0.5),
         ior=col("ior", 1.0),
         transmission=col("transmission", 0.0),
+        albedo_spd=jnp.asarray(albedo_spd),
+        emission_spd=jnp.asarray(emission_spd),
+        cauchy_b=col("cauchy_b", 0.0),
     )

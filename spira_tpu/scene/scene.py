@@ -102,12 +102,13 @@ def create_cornell_box(light_emission=(15.0, 15.0, 15.0)) -> Scene:
             dict(albedo=(0.12, 0.45, 0.15)),  # 2 green right wall
             dict(albedo=(1.0, 1.0, 1.0), emission=light_emission),  # 3 light
             dict(albedo=(0.9, 0.9, 0.9), metallic=1.0, roughness=0.05),  # 4
-            dict(  # 5 glass sphere (dielectric, dispersive)
+            dict(  # 5 glass sphere (dielectric, dispersive flint-like glass)
                 albedo=(1.0, 1.0, 1.0),
                 metallic=1.0,
                 roughness=0.0,
                 ior=1.5,
                 transmission=1.0,
+                cauchy_b=0.0042,
             ),
         ]
     )
