@@ -1,0 +1,153 @@
+"""Progressive chunked rendering with metrics and checkpoint/resume.
+
+The production driver around the jitted kernel: host loops over sample
+chunks (the reference's host spp loop,
+`/root/reference/src/spira-metal-optimized.jl:1274`, kept *between* device
+dispatches where it belongs), reports rays/s + ETA, and persists
+sample-granular checkpoints so long renders survive preemption
+(SURVEY.md §5 "checkpoint/resume").  Resume is exact: the RNG is
+counter-based, so samples [k, k+n) are the same paths no matter when they
+are rendered.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core import rng as srng
+from .io import image as img_io
+from .render import accumulate_rows
+from .utils import checkpoint as ckpt
+from .utils.config import RenderConfig, build_scene
+from .utils.metrics import RenderMeter, logger
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "n_samples", "max_depth", "semantics",
+        "inclusive_uv", "spectral",
+    ),
+)
+def _render_chunk(
+    scene, camera, sample_offset, *, width, height, n_samples, max_depth,
+    semantics, spectral, seed, inclusive_uv=True,
+):
+    """Sum of ``n_samples`` starting at traced ``sample_offset`` — one
+    compilation serves every chunk."""
+    return accumulate_rows(
+        scene,
+        camera,
+        srng.base_key(seed),
+        width=width,
+        height=height,
+        row_start=0,
+        n_rows=height,
+        sample_offset=sample_offset,
+        n_samples=n_samples,
+        max_depth=max_depth,
+        semantics=semantics,
+        inclusive_uv=inclusive_uv,
+        spectral=spectral,
+    )
+
+
+def render_progressive(scene, camera, cfg: RenderConfig) -> np.ndarray:
+    """Render under ``cfg`` with progress reporting and optional
+    checkpointing; returns the (H, W, 3) HDR image."""
+    n = cfg.width * cfg.height
+    acc = jnp.zeros((n, 3), jnp.float32)
+    done = 0
+
+    if cfg.checkpoint_dir:
+        state = ckpt.load_render_state(cfg.checkpoint_dir)
+        if state is not None:
+            saved_acc, saved_done, saved_seed, saved_cfg = state
+            if saved_cfg == cfg.to_json() and saved_seed == cfg.seed:
+                acc = jnp.asarray(saved_acc)
+                done = saved_done
+                logger.info("resumed at sample %d/%d", done, cfg.spp)
+            else:
+                logger.warning(
+                    "checkpoint config mismatch — starting fresh"
+                )
+
+    chunk = cfg.checkpoint_every if cfg.checkpoint_every > 0 else cfg.spp
+    meter = RenderMeter(
+        cfg.width, cfg.height, cfg.spp, cfg.max_depth, enabled=cfg.progress
+    )
+    meter.samples_done = done
+
+    while done < cfg.spp:
+        take = min(chunk, cfg.spp - done)
+        # chunk sizes are static; at most two compilations (full + remainder)
+        acc = acc + _render_chunk(
+            scene,
+            camera,
+            jnp.int32(done),
+            width=cfg.width,
+            height=cfg.height,
+            n_samples=take,
+            max_depth=cfg.max_depth,
+            semantics=cfg.semantics,
+            spectral=cfg.spectral,
+            seed=cfg.seed,
+        )
+        acc.block_until_ready()
+        done += take
+        meter.update(done)
+        if cfg.checkpoint_dir and done < cfg.spp:
+            ckpt.save_render_state(
+                cfg.checkpoint_dir,
+                accumulator=acc,
+                samples_done=done,
+                seed=cfg.seed,
+                config_json=cfg.to_json(),
+            )
+
+    flat = acc / jnp.float32(cfg.spp)
+    return np.asarray(img_io.assemble_image(flat, cfg.width, cfg.height))
+
+
+def run_config(cfg: RenderConfig) -> np.ndarray:
+    """Build the scene, render (sharded if configured), tone map, save."""
+    scene, camera = build_scene(cfg)
+
+    if cfg.n_tile is not None:
+        from .parallel.mesh import make_mesh, replicate
+        from .parallel.sharded import render_flat_sharded
+
+        mesh = make_mesh(n_tile=cfg.n_tile, n_spp=cfg.n_spp_axis)
+        scene = replicate(scene, mesh)
+        camera = replicate(camera, mesh)
+        flat = render_flat_sharded(
+            scene,
+            camera,
+            width=cfg.width,
+            height=cfg.height,
+            mesh=mesh,
+            spp=cfg.spp,
+            max_depth=cfg.max_depth,
+            seed=cfg.seed,
+            semantics=cfg.semantics,
+            spectral=cfg.spectral,
+        )
+        hdr = np.asarray(img_io.assemble_image(flat, cfg.width, cfg.height))
+    else:
+        hdr = render_progressive(scene, camera, cfg)
+
+    ldr = img_io.TONEMAPS[cfg.tonemap](jnp.asarray(hdr))
+    out = img_io.to_uint8(ldr)
+    if cfg.output:
+        if cfg.output.endswith(".exr"):
+            img_io.save_exr(cfg.output, hdr)
+        elif cfg.output.endswith(".ppm"):
+            img_io.save_ppm(cfg.output, out)
+        else:
+            img_io.save_png(cfg.output, out)
+        logger.info("wrote %s", cfg.output)
+    return out
