@@ -19,6 +19,7 @@ vs_baseline = value / 1e7.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -27,77 +28,70 @@ BASELINE_RAYS_PER_SEC = 1.0e7
 WIDTH, HEIGHT, SPP, MAX_DEPTH = 640, 360, 16, 4
 
 
+def _time(fn, iters, *args):
+    import jax
+
+    out = jax.block_until_ready(fn(*args, 0))  # warmup/compile
+    t0 = time.perf_counter()
+    for i in range(iters):
+        out = fn(*args, i + 1)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
     import spira_tpu as st
-    from spira_tpu.diff.inverse import render_for_grad
+    from spira_tpu.core.types import replace
+    from spira_tpu.kernels.megakernel import (
+        render_flat_fused,
+        render_flat_megakernel,
+    )
     from spira_tpu.render import render_flat
 
     scene = st.create_scene()
     camera = st.default_camera(WIDTH / HEIGHT)
+    rays = WIDTH * HEIGHT * SPP * MAX_DEPTH
+    kw = dict(width=WIDTH, height=HEIGHT, spp=SPP, max_depth=MAX_DEPTH)
 
-    def fwd(scene, camera, seed):
-        return render_flat(
-            scene,
-            camera,
-            width=WIDTH,
-            height=HEIGHT,
-            spp=SPP,
-            max_depth=MAX_DEPTH,
-            seed=seed,
-        )
+    target = jax.block_until_ready(
+        render_flat_fused(scene, camera, **kw, seed=7)
+    )
 
-    # Target for the loss (content is irrelevant to throughput).
-    target = jax.block_until_ready(fwd(scene, camera, 7))
-
+    # Headline: full differentiable step on the fused engine — forward
+    # render + MSE loss + gradients w.r.t. all material fields.
     @jax.jit
-    def train_step(params, scene, camera, target, seed):
-        def loss_fn(params):
-            img = render_for_grad(
-                params,
-                scene,
-                camera,
-                width=WIDTH,
-                height=HEIGHT,
-                spp=SPP,
-                max_depth=MAX_DEPTH,
-                seed=seed,
+    def train_step(materials, scene, camera, target, seed):
+        def loss_fn(materials):
+            img = render_flat_fused(
+                replace(scene, materials=materials), camera, **kw, seed=seed
             )
             return jnp.mean((img - target) ** 2)
 
-        return jax.value_and_grad(loss_fn)(params)
+        return jax.value_and_grad(loss_fn)(materials)
 
-    params = {
-        "albedo": scene.materials.albedo,
-        "emission": scene.materials.emission,
-    }
+    def step(seed):
+        return train_step(scene.materials, scene, camera, target, seed)
 
-    # Warmup / compile.
-    loss, grads = jax.block_until_ready(train_step(params, scene, camera, target, 0))
-    print(f"warmup loss={float(loss):.6f}", file=sys.stderr)
+    dt_bwd = _time(lambda i: step(i), 20)
+    loss, _ = step(0)
+    print(f"loss check: {float(loss):.6f}", file=sys.stderr)
+    rays_per_sec = rays / dt_bwd
 
-    iters = 10
-    t0 = time.perf_counter()
-    for i in range(iters):
-        loss, grads = train_step(params, scene, camera, target, i + 1)
-    jax.block_until_ready((loss, grads))
-    dt = (time.perf_counter() - t0) / iters
-
-    rays = WIDTH * HEIGHT * SPP * MAX_DEPTH
-    rays_per_sec = rays / dt
-
-    # Secondary numbers to stderr for the record.
-    t0 = time.perf_counter()
-    for i in range(iters):
-        out = fwd(scene, camera, i)
-    jax.block_until_ready(out)
-    fwd_dt = (time.perf_counter() - t0) / iters
+    # Secondary engines to stderr for the record.
+    dt_fused = _time(
+        lambda i: render_flat_fused(scene, camera, **kw, seed=i), 20
+    )
+    dt_wave = _time(
+        lambda i: render_flat(scene, camera, **kw, seed=i), 5
+    )
     print(
-        f"fwd only: {rays / fwd_dt / 1e6:.1f} Mrays/s ({fwd_dt * 1e3:.1f} ms); "
-        f"fwd+bwd: {rays_per_sec / 1e6:.1f} Mrays/s ({dt * 1e3:.1f} ms); "
-        f"inverse iters/sec: {1.0 / dt:.2f}",
+        f"fwd fused-xla: {rays / dt_fused / 1e6:.0f} Mrays/s ({dt_fused * 1e3:.2f} ms); "
+        f"fwd wavefront: {rays / dt_wave / 1e6:.1f} Mrays/s ({dt_wave * 1e3:.1f} ms); "
+        f"fwd+bwd fused: {rays_per_sec / 1e6:.0f} Mrays/s ({dt_bwd * 1e3:.2f} ms); "
+        f"inverse iters/sec: {1.0 / dt_bwd:.2f}",
         file=sys.stderr,
     )
 
@@ -109,8 +103,23 @@ def main() -> None:
                 "unit": "rays/s",
                 "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
             }
-        )
+        ),
+        flush=True,
     )
+
+    # The Pallas megakernel is the fastest forward engine, but a cold Mosaic
+    # compile through this environment's remote-compile helper can take many
+    # minutes — measure it strictly AFTER the headline JSON is out, and only
+    # unless disabled.
+    if os.environ.get("SPIRA_BENCH_PALLAS", "1") != "0":
+        dt_pallas = _time(
+            lambda i: render_flat_megakernel(scene, camera, **kw, seed=i), 20
+        )
+        print(
+            f"fwd pallas megakernel: {rays / dt_pallas / 1e6:.0f} Mrays/s "
+            f"({dt_pallas * 1e3:.2f} ms)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

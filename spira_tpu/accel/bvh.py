@@ -137,10 +137,19 @@ def _build_arrays(lo, hi, leaf_size):
     return arrays, order
 
 
-def build_bvh_for_triangles(tris, leaf_size: int = LEAF_SIZE) -> FlatBVH:
+def build_bvh_for_triangles(
+    tris, leaf_size: int = LEAF_SIZE, use_native: bool = True
+) -> FlatBVH:
+    """Build over a triangle soup — the native binned-SAH builder when the
+    C++ library is available (see ``native/bvh_builder.cpp``), the NumPy
+    median-split builder otherwise."""
     from ..scene.geometry import triangle_bounds
 
     lo, hi = triangle_bounds(tris)
+    if use_native:
+        from .native import build_bvh_best
+
+        return build_bvh_best(lo, hi, leaf_size)
     return build_bvh(lo, hi, leaf_size)
 
 

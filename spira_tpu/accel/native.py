@@ -1,0 +1,130 @@
+"""ctypes bindings for the native (C++) BVH builder.
+
+The builder emits the exact flat layout of :class:`spira_tpu.accel.bvh.FlatBVH`
+but with binned-SAH splits (better trees, ~10-50× faster builds than the
+NumPy median-split builder on large meshes).  Falls back transparently to the
+NumPy builder when the shared library is absent and cannot be compiled
+(mirroring the reference's graceful capability-probing philosophy,
+`/root/reference/src/SPIRA.jl:16-19`).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.metrics import logger
+from .bvh import LEAF_SIZE, FlatBVH
+
+_NATIVE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+_LIB_NAME = "libspira_native.so"
+
+_lib = None
+_lib_tried = False
+
+
+def _load_library():
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    path = os.path.abspath(os.path.join(_NATIVE_DIR, _LIB_NAME))
+    if not os.path.exists(path):
+        try:
+            subprocess.run(
+                ["make", "-C", os.path.abspath(_NATIVE_DIR)],
+                check=True,
+                capture_output=True,
+                timeout=120,
+            )
+        except Exception as e:  # no toolchain / build failure → fallback
+            logger.debug("native build failed (%s); using NumPy builder", e)
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError as e:
+        logger.debug("native load failed (%s); using NumPy builder", e)
+        return None
+    fn = lib.spira_build_bvh
+    fn.restype = ctypes.c_int32
+    fn.argtypes = [
+        ctypes.POINTER(ctypes.c_float),  # lo
+        ctypes.POINTER(ctypes.c_float),  # hi
+        ctypes.c_int32,  # n
+        ctypes.c_int32,  # leaf_size
+        ctypes.POINTER(ctypes.c_float),  # node_min
+        ctypes.POINTER(ctypes.c_float),  # node_max
+        ctypes.POINTER(ctypes.c_int32),  # left
+        ctypes.POINTER(ctypes.c_int32),  # right
+        ctypes.POINTER(ctypes.c_int32),  # is_leaf
+        ctypes.POINTER(ctypes.c_int32),  # prim_idx
+    ]
+    _lib = lib
+    return _lib
+
+
+def native_available() -> bool:
+    return _load_library() is not None
+
+
+def build_bvh_native(
+    lo: np.ndarray, hi: np.ndarray, leaf_size: int = LEAF_SIZE
+) -> FlatBVH:
+    """Binned-SAH build via the C++ library; raises if unavailable."""
+    lib = _load_library()
+    if lib is None:
+        raise RuntimeError("native BVH builder unavailable")
+    lo = np.ascontiguousarray(lo, np.float32)
+    hi = np.ascontiguousarray(hi, np.float32)
+    n = lo.shape[0]
+    if n == 0:
+        raise ValueError("cannot build a BVH over zero primitives")
+    cap = max(2 * n - 1, 1)
+    node_min = np.empty((cap, 3), np.float32)
+    node_max = np.empty((cap, 3), np.float32)
+    left = np.empty(cap, np.int32)
+    right = np.empty(cap, np.int32)
+    is_leaf = np.empty(cap, np.int32)
+    prim_idx = np.empty(n, np.int32)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    m = lib.spira_build_bvh(
+        ptr(lo, ctypes.c_float),
+        ptr(hi, ctypes.c_float),
+        n,
+        leaf_size,
+        ptr(node_min, ctypes.c_float),
+        ptr(node_max, ctypes.c_float),
+        ptr(left, ctypes.c_int32),
+        ptr(right, ctypes.c_int32),
+        ptr(is_leaf, ctypes.c_int32),
+        ptr(prim_idx, ctypes.c_int32),
+    )
+    if m < 0:
+        raise RuntimeError("native BVH build failed")
+    leaf_mask = is_leaf[:m] == 1
+    max_leaf = int(right[:m][leaf_mask].max())
+    return FlatBVH(
+        node_min=jnp.asarray(node_min[:m]),
+        node_max=jnp.asarray(node_max[:m]),
+        left=jnp.asarray(left[:m]),
+        right=jnp.asarray(right[:m]),
+        is_leaf=jnp.asarray(is_leaf[:m]),
+        prim_idx=jnp.asarray(prim_idx),
+        max_leaf=max_leaf,
+    )
+
+
+def build_bvh_best(lo, hi, leaf_size: int = LEAF_SIZE) -> FlatBVH:
+    """Native SAH builder when available, NumPy median-split otherwise."""
+    if native_available():
+        return build_bvh_native(lo, hi, leaf_size)
+    from .bvh import build_bvh
+
+    return build_bvh(lo, hi, leaf_size)

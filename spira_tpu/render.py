@@ -137,9 +137,51 @@ def accumulate_rows(
     return acc
 
 
+def select_engine(scene, semantics: str, spectral: bool, engine: str = "auto"):
+    """Resolve the execution engine.
+
+    * ``pallas``   — fused Pallas megakernel (TPU; sphere scenes, physical)
+    * ``fused``    — same fused tracer as one XLA computation (any backend)
+    * ``wavefront``— the general masked-scan estimator (triangles/BVH,
+      spectral transport, reference semantics, gradients with overrides)
+    """
+    if engine != "auto":
+        return engine
+    sphere_only = scene.triangles.count == 0 and scene.spheres.count > 0
+    if sphere_only and semantics == "physical" and not spectral:
+        return "pallas" if jax.default_backend() == "tpu" else "fused"
+    return "wavefront"
+
+
+def render_flat_engine(
+    scene, camera, *, width, height, spp=16, max_depth=4, seed=0,
+    semantics="physical", inclusive_uv=True, spectral=False, engine="auto",
+):
+    """render_flat with engine dispatch (same estimator family; the fused
+    engines use the PCG4D RNG stream, the wavefront engine threefry — images
+    agree statistically, not bitwise)."""
+    engine = select_engine(scene, semantics, spectral, engine)
+    if engine in ("pallas", "fused"):
+        from .kernels.megakernel import (
+            render_flat_fused,
+            render_flat_megakernel,
+        )
+
+        fn = render_flat_megakernel if engine == "pallas" else render_flat_fused
+        return fn(
+            scene, camera, width=width, height=height, spp=spp,
+            max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
+        )
+    return render_flat(
+        scene, camera, width=width, height=height, spp=spp,
+        max_depth=max_depth, seed=seed, semantics=semantics,
+        inclusive_uv=inclusive_uv, spectral=spectral,
+    )
+
+
 def render_hdr(scene, camera, width, height, **kw) -> jnp.ndarray:
     """Render to an (H, W, 3) top-down HDR image."""
-    flat = render_flat(scene, camera, width=width, height=height, **kw)
+    flat = render_flat_engine(scene, camera, width=width, height=height, **kw)
     return img_io.assemble_image(flat, width, height)
 
 
@@ -156,6 +198,7 @@ def render(
     tonemap: str = "gamma",
     inclusive_uv: bool = True,
     spectral: bool = False,
+    engine: str = "auto",
     output_path: str | None = None,
 ) -> np.ndarray:
     """Render, tone map, optionally save a PNG; returns (H, W, 3) uint8.
@@ -174,6 +217,7 @@ def render(
         semantics=semantics,
         inclusive_uv=inclusive_uv,
         spectral=spectral,
+        engine=engine,
     )
     ldr = img_io.TONEMAPS[tonemap](hdr)
     out = img_io.to_uint8(ldr)

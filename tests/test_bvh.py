@@ -127,3 +127,33 @@ def test_scene_with_bvh_renders_mesh():
     )
     # identical RNG + identical hits → identical images
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_native_sah_builder_matches_brute_force():
+    """C++ binned-SAH builder (native/bvh_builder.cpp): invariants + exact
+    traversal agreement with brute force; skipped when no toolchain."""
+    from spira_tpu.accel.native import build_bvh_native, native_available
+
+    if not native_available():
+        pytest.skip("native builder unavailable")
+    tris = random_soup(700, seed=21)
+    lo, hi = triangle_bounds(tris)
+    bvh = build_bvh_native(lo, hi)
+    validate_bvh(bvh, lo, hi)
+    o, d = random_rays(256, seed=22)
+    assert_hits_match(
+        intersect_bvh(bvh, tris, o, d), intersect_triangles(tris, o, d)
+    )
+
+
+def test_native_sah_quality_not_worse_than_median():
+    """SAH trees should not have more nodes than median-split trees."""
+    from spira_tpu.accel.native import build_bvh_native, native_available
+
+    if not native_available():
+        pytest.skip("native builder unavailable")
+    tris = icosphere(subdivisions=4)
+    lo, hi = triangle_bounds(tris)
+    sah = build_bvh_native(lo, hi)
+    med = build_bvh(lo, hi)
+    assert sah.node_count <= med.node_count

@@ -42,7 +42,8 @@ def test_progressive_equals_single_shot():
     chunked = render_progressive(scene, cam, cfg)
     single = np.asarray(
         st.render_hdr(
-            scene, cam, cfg.width, cfg.height, spp=6, max_depth=2, seed=0
+            scene, cam, cfg.width, cfg.height, spp=6, max_depth=2, seed=0,
+            engine="wavefront",  # the progressive pipeline's engine
         )
     )
     np.testing.assert_allclose(chunked, single, rtol=1e-5, atol=1e-6)
