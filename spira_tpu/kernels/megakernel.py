@@ -84,6 +84,7 @@ def trace_tile(
     du: float,
     dv: float,
     remat: bool = False,
+    sample_offset=0,
 ):
     """Trace ``spp`` samples for a tile of pixels; returns summed (r, g, b).
 
@@ -102,6 +103,7 @@ def trace_tile(
 
     def sample_body(s, acc):
         acc_r, acc_g, acc_b = acc
+        s = s + sample_offset
         s32 = s.astype(jnp.uint32) if hasattr(s, "astype") else np.uint32(s)
 
         ju, jv, _, _ = pcg.uniform4(pixel, s32, stream_id(s32, 0, 0), seed)
@@ -315,7 +317,12 @@ def trace_tile(
 
         return (acc_r + lr, acc_g + lg, acc_b + lb)
 
-    zeros = jnp.zeros_like(row_f)
+    # `+ 0*sample_offset` matches the accumulator's varying-over-mesh-axes
+    # type to the loop output when sample_offset comes from lax.axis_index
+    # under shard_map (no-op, folded by XLA).
+    zeros = jnp.zeros_like(row_f) + jnp.float32(0) * jnp.asarray(
+        sample_offset, jnp.float32
+    )
 
     # remat=True (fused-XLA path): per-sample checkpoint — reverse-mode keeps
     # only the accumulator per sample and replays the sample's paths
@@ -570,6 +577,58 @@ def render_flat_fused(
         inclusive_uv=inclusive_uv,
     )
     return _crop_flat(r, g, b, width, height)
+
+
+def fused_rows(
+    scene,
+    camera,
+    *,
+    width: int,
+    n_rows: int,
+    row_start,
+    sample_offset,
+    spp: int,
+    max_depth: int,
+    seed,
+    du: float,
+    dv: float,
+    remat: bool = True,
+):
+    """Fused tracer over a row-range — the shard body of the tile/spp-sharded
+    renderer.  Because the PCG counters are keyed on the *global* pixel id
+    and absolute sample index, the rendered image is sharding-invariant:
+    any mesh shape produces the same pixels (up to reduction order).
+
+    Returns the per-row-range radiance **sum** over its spp range,
+    (n_rows*width, 3).
+    """
+    row = row_start + jax.lax.broadcasted_iota(jnp.int32, (n_rows, width), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n_rows, width), 1)
+    cam_arr = jnp.concatenate(
+        [camera.origin, camera.lower_left_corner, camera.horizontal,
+         camera.vertical]
+    )
+    cam = tuple(cam_arr[k] for k in range(12))
+    sph_arr = pack_scene_jnp(scene)
+    spheres = [
+        tuple(sph_arr[k, f] for f in range(14))
+        for k in range(scene.spheres.count)
+    ]
+    r, g, b = trace_tile(
+        (row * width + col).astype(jnp.uint32),
+        row.astype(jnp.float32),
+        col.astype(jnp.float32),
+        cam,
+        spheres,
+        seed=seed,
+        spp=spp,
+        max_depth=max_depth,
+        du=du,
+        dv=dv,
+        remat=remat,
+        sample_offset=sample_offset,
+    )
+    return jnp.reshape(jnp.stack([r, g, b], axis=-1), (n_rows * width, 3))
 
 
 def _check_sphere_only(scene):

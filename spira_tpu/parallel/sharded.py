@@ -28,7 +28,7 @@ from ..render import accumulate_rows
 @lru_cache(maxsize=64)
 def _make_sharded_renderer(
     width, height, mesh, spp, max_depth, seed, semantics, inclusive_uv,
-    spectral,
+    spectral, engine,
 ):
     n_tile = mesh.shape["tile"]
     n_spp_axis = mesh.shape.get("spp", 1)
@@ -42,6 +42,23 @@ def _make_sharded_renderer(
     def shard_body(scene, camera):
         t = jax.lax.axis_index("tile")
         s = jax.lax.axis_index("spp")
+        if engine == "fused":
+            from ..kernels.megakernel import fused_rows
+
+            acc = fused_rows(
+                scene,
+                camera,
+                width=width,
+                n_rows=rows_per,
+                row_start=t * rows_per,
+                sample_offset=s * spp_per,
+                spp=spp_per,
+                max_depth=max_depth,
+                seed=seed,
+                du=float(width - 1 if inclusive_uv else width),
+                dv=float(height - 1 if inclusive_uv else height),
+            )
+            return jax.lax.psum(acc, "spp") / jnp.float32(spp)
         acc = accumulate_rows(
             scene,
             camera,
@@ -78,8 +95,14 @@ def render_flat_sharded(
     semantics: str = "physical",
     inclusive_uv: bool = True,
     spectral: bool = False,
+    engine: str = "wavefront",
 ):
     """Render to a flat (H*W, 3) HDR buffer, sharded over ``mesh``.
+
+    ``engine="fused"`` runs the fused megakernel tracer per shard (sphere
+    scenes, physical semantics) — the multi-chip fast path; images are
+    sharding-invariant because randomness is keyed on global pixel ids and
+    absolute sample indices.
 
     ``height`` must divide by the tile-axis size and ``spp`` by the spp-axis
     size (pad upstream if needed).  The returned array is laid out with
@@ -87,7 +110,7 @@ def render_flat_sharded(
     """
     fn = _make_sharded_renderer(
         width, height, mesh, spp, max_depth, seed, semantics, inclusive_uv,
-        spectral,
+        spectral, engine,
     )
     return fn(scene, camera)
 
