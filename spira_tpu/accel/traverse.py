@@ -45,7 +45,8 @@ def _mt_single(v0, e1, e2, origins, directions, t_min, t_max):
     """Möller–Trumbore for one gathered triangle per ray; all (N,3)."""
     pvec = jnp.cross(directions, e2)
     det = vm.dot(e1, pvec)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    det_ok = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
     tvec = origins - v0
     u = vm.dot(tvec, pvec) * inv_det
     qvec = jnp.cross(tvec, e1)

@@ -71,7 +71,9 @@ def refract(incident, normal, eta):
     cos_i = -vdot(incident, normal)
     sin2_t = (eta**2) * jnp.maximum(0.0, 1.0 - cos_i**2)
     tir = sin2_t[..., 0] > 1.0
-    cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+    # double-where: sqrt'(0)=inf at grazing/TIR would poison reverse-mode
+    ok = sin2_t < 1.0
+    cos_t = jnp.where(ok, jnp.sqrt(jnp.where(ok, 1.0 - sin2_t, 1.0)), 0.0)
     refracted = eta * incident + (eta * cos_i - cos_t) * normal
     return refracted, tir
 

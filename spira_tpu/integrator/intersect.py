@@ -55,19 +55,25 @@ def intersect_spheres(spheres, origins, directions, t_min=T_MIN, t_max=INF) -> H
     half_b = jnp.einsum("nsc,nc->ns", oc, directions)
     c = jnp.sum(oc * oc, axis=-1) - spheres.radii[None, :] ** 2
     disc = half_b * half_b - c
-    sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+    # double-where guards: sqrt'(0)=inf and 1/0 in masked-off branches would
+    # otherwise poison reverse-mode (camera/geometry gradients).
+    disc_ok = disc > 0.0
+    sqrtd = jnp.where(disc_ok, jnp.sqrt(jnp.where(disc_ok, disc, 1.0)), 0.0)
     root0 = -half_b - sqrtd
     root1 = -half_b + sqrtd
     root = jnp.where(root0 > t_min, root0, root1)
-    valid = (disc > 0.0) & (root > t_min) & (root < t_max)
+    valid = disc_ok & (root > t_min) & (root < t_max)
     t = jnp.where(valid, root, INF)
 
     best = jnp.argmin(t, axis=1)  # (N,)
     t_best = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
     hit = t_best < INF
+    # INF stays in Hit.t (merge_hits relies on it); use a guarded t for the
+    # normal computation only.
+    t_safe = jnp.where(hit, t_best, 1.0)
 
     center = spheres.centers[best]  # (N,3)
-    p = origins + t_best[:, None] * directions
+    p = origins + t_safe[:, None] * directions
     normal = vm.normalize(p - center)
     material = spheres.material[best]
     return Hit(t=t_best, normal=normal, material=material, hit=hit)
@@ -111,7 +117,8 @@ def _moller_trumbore(tris, origins, directions):
     e2 = tris.e2[None, :, :]
     pvec = jnp.cross(d, e2)  # (N,T,3)
     det = jnp.sum(e1 * pvec, axis=-1)  # (N,T)
-    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+    det_ok = jnp.abs(det) > 1e-12
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
     tvec = origins[:, None, :] - tris.v0[None, :, :]
     u = jnp.sum(tvec * pvec, axis=-1) * inv_det
     qvec = jnp.cross(tvec, e1)

@@ -104,7 +104,10 @@ def _bounce(carry, bounce_idx, *, scene, sample_key, semantics, russian_roulette
     radiance = radiance + jnp.where(miss[:, None], throughput * sky, 0.0)
 
     live_hit = alive & hit.hit
-    hit_point = o + hit.t[:, None] * d
+    # guarded t: miss lanes carry t=INF, and inf*0 through the masked
+    # branches of jnp.where still NaNs reverse-mode
+    t_safe = jnp.where(hit.hit, hit.t, 1.0)
+    hit_point = o + t_safe[:, None] * d
 
     if semantics == "physical":
         # Emission accumulates every bounce through the running throughput

@@ -107,7 +107,8 @@ def _bounce(carry, bounce_idx, *, scene, sample_key, lam, russian_roulette):
     live_hit = alive & hit.hit
     radiance = radiance + jnp.where(live_hit[:, None], throughput * emi, 0.0)
 
-    hit_point = o + hit.t[:, None] * d
+    t_safe = jnp.where(hit.hit, hit.t, 1.0)  # keep INF out of reverse-mode
+    hit_point = o + t_safe[:, None] * d
     entering = vm.dot(d, hit.normal) < 0.0
     n_ff = vm.where(entering, hit.normal, -hit.normal)
 

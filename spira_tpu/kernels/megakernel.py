@@ -56,6 +56,10 @@ _S_GLASS = 3  # transmission / fresnel draws
 _N_STREAMS = 3
 
 N_SPHERE_FIELDS = 16  # cx cy cz r | albedo3 emission3 metal rough ior trans
+N_TRI_FIELDS = 24  # v0(3) e1(3) e2(3) n(3) | albedo3 emission3 metal rough ior trans
+#: fused engines statically unroll the primitive loops; beyond this many
+#: triangles the wavefront+BVH path wins (and compile times explode).
+FUSED_TRI_LIMIT = 32
 
 
 def _norm3(x, y, z):
@@ -77,6 +81,7 @@ def trace_tile(
     col_f,
     cam,
     spheres,
+    triangles=(),
     *,
     seed,
     spp: int,
@@ -91,7 +96,9 @@ def trace_tile(
     pixel: uint32 per-lane counters; row_f/col_f: float pixel coordinates
     (row counted from the image bottom); cam: 12 broadcastable scalars
     (origin, lower-left corner, horizontal, vertical); spheres: list of
-    16-scalar tuples (packed by :func:`pack_scene`).
+    16-scalar tuples (packed by :func:`pack_scene`); triangles: list of
+    24-scalar tuples (v0, e1, e2, unit normal, material fields) — both
+    primitive loops are static unrolls over broadcast scalars.
     """
     (ox0, oy0, oz0, llcx, llcy, llcz, hx, hy, hz, vx, vy, vz) = cam
 
@@ -142,6 +149,10 @@ def trace_tile(
             m_rough = jnp.zeros_like(dx)
             m_ior = jnp.ones_like(dx)
             m_trans = jnp.zeros_like(dx)
+            hit_is_tri = jnp.zeros_like(dx, dtype=jnp.bool_)
+            tnx = jnp.zeros_like(dx)
+            tny = jnp.zeros_like(dx)
+            tnz = jnp.zeros_like(dx)
             for sph in spheres:
                 (cx, cy, cz, r, ar, ag, ab_, er, eg, eb, met, rough, ior,
                  trans) = sph[:14]
@@ -151,11 +162,16 @@ def trace_tile(
                 half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
                 c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
                 disc = half_b * half_b - c
-                sqrtd = jnp.sqrt(jnp.maximum(disc, 0.0))
+                # double-where: sqrt'(0)=inf would poison the backward pass
+                # through the masked-off branch (camera/geometry gradients)
+                disc_ok = disc > 0.0
+                sqrtd = jnp.where(
+                    disc_ok, jnp.sqrt(jnp.where(disc_ok, disc, 1.0)), 0.0
+                )
                 root0 = -half_b - sqrtd
                 root1 = -half_b + sqrtd
                 root = _select(root0 > T_MIN, root0, root1)
-                hit_k = (disc > 0.0) & (root > T_MIN) & (root < best_t)
+                hit_k = disc_ok & (root > T_MIN) & (root < best_t)
                 best_t = _select(hit_k, root, best_t)
                 ncx = _select(hit_k, cx, ncx)
                 ncy = _select(hit_k, cy, ncy)
@@ -171,8 +187,58 @@ def trace_tile(
                 m_rough = _select(hit_k, rough, m_rough)
                 m_ior = _select(hit_k, ior, m_ior)
                 m_trans = _select(hit_k, trans, m_trans)
+                hit_is_tri = hit_is_tri & ~hit_k
+
+            for tri in triangles:
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+                 nxc, nyc, nzc, ar, ag, ab_, er, eg, eb, met, rough, ior,
+                 trans) = tri[:22]
+                # Möller–Trumbore on broadcast scalars
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                det_ok = jnp.abs(det) > 1e-12
+                inv_det = jnp.where(
+                    det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
+                )
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                hit_k = (
+                    (jnp.abs(det) > 1e-9)
+                    & (uu >= 0.0)
+                    & (vv >= 0.0)
+                    & (uu + vv <= 1.0)
+                    & (tt > T_MIN)
+                    & (tt < best_t)
+                )
+                best_t = _select(hit_k, tt, best_t)
+                tnx = _select(hit_k, nxc, tnx)
+                tny = _select(hit_k, nyc, tny)
+                tnz = _select(hit_k, nzc, tnz)
+                hit_is_tri = hit_is_tri | hit_k
+                m_ar = _select(hit_k, ar, m_ar)
+                m_ag = _select(hit_k, ag, m_ag)
+                m_ab = _select(hit_k, ab_, m_ab)
+                m_er = _select(hit_k, er, m_er)
+                m_eg = _select(hit_k, eg, m_eg)
+                m_eb = _select(hit_k, eb, m_eb)
+                m_metal = _select(hit_k, met, m_metal)
+                m_rough = _select(hit_k, rough, m_rough)
+                m_ior = _select(hit_k, ior, m_ior)
+                m_trans = _select(hit_k, trans, m_trans)
 
             hit = best_t < INF
+            # miss lanes carry best_t = INF; inf*0 in the untaken branch of a
+            # select still NaNs the backward pass — clamp to a safe value.
+            best_t = _select(hit, best_t, 1.0)
             # ---- miss: sky gradient (MSL kernel :196-199)
             t_sky = 0.5 * (dy + 1.0)
             miss = alive & ~hit
@@ -194,6 +260,15 @@ def trace_tile(
             ny = (py - ncy) * inv_r
             nz = (pz - ncz) * inv_r
             nx, ny, nz = _norm3(nx, ny, nz)
+            nx = _select(hit_is_tri, tnx, nx)
+            ny = _select(hit_is_tri, tny, ny)
+            nz = _select(hit_is_tri, tnz, nz)
+            # Miss lanes would normalize a zero vector; chained rsqrt
+            # backward factors then overflow to inf (NaN via inf·0).  Give
+            # them a fixed unit normal instead — their output is masked.
+            nx = _select(hit, nx, 0.0)
+            ny = _select(hit, ny, 1.0)
+            nz = _select(hit, nz, 0.0)
             entering = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
             sgn = _select(entering, 1.0, -1.0)
             nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
@@ -226,7 +301,9 @@ def trace_tile(
             cos_i = jnp.clip(-d_dot_n, 0.0, 1.0)
             sin2_t = eta * eta * jnp.maximum(0.0, 1.0 - cos_i * cos_i)
             tir = sin2_t > 1.0
-            cos_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - sin2_t))
+            cos_t = jnp.where(
+                tir, 0.0, jnp.sqrt(jnp.where(tir, 1.0, 1.0 - sin2_t))
+            )
             fx = eta * dx + (eta * cos_i - cos_t) * nx
             fy = eta * dy + (eta * cos_i - cos_t) * ny
             fz = eta * dz + (eta * cos_i - cos_t) * nz
@@ -339,8 +416,8 @@ def trace_tile(
 # ----------------------------------------------------------------------------
 
 def _kernel(
-    seed_ref, cam_ref, sph_ref, out_r, out_g, out_b, *, spp, max_depth,
-    width, height, n_spheres, inclusive_uv,
+    seed_ref, cam_ref, sph_ref, tri_ref, out_r, out_g, out_b, *, spp,
+    max_depth, width, height, n_spheres, n_tris, inclusive_uv,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -354,12 +431,16 @@ def _kernel(
     spheres = [
         tuple(sph_ref[k, f] for f in range(14)) for k in range(n_spheres)
     ]
+    triangles = [
+        tuple(tri_ref[k, f] for f in range(22)) for k in range(n_tris)
+    ]
     r, g, b = trace_tile(
         (row * width + col).astype(jnp.uint32),
         row.astype(jnp.float32),
         col.astype(jnp.float32),
         cam,
         spheres,
+        triangles,
         seed=seed_ref[0, 0],
         spp=spp,
         max_depth=max_depth,
@@ -371,6 +452,29 @@ def _kernel(
     out_r[:] = r * inv
     out_g[:] = g * inv
     out_b[:] = b * inv
+
+
+def pack_triangles_jnp(scene):
+    """Traced (T, 24) triangle table (differentiable in material fields)."""
+    tris, mats = scene.triangles, scene.materials
+    m = tris.material
+    t = tris.count
+    return jnp.concatenate(
+        [
+            tris.v0,
+            tris.e1,
+            tris.e2,
+            tris.normal,
+            mats.albedo[m],
+            mats.emission[m],
+            mats.metallic[m][:, None],
+            mats.roughness[m][:, None],
+            mats.ior[m][:, None],
+            mats.transmission[m][:, None],
+            jnp.zeros((t, 2), jnp.float32),
+        ],
+        axis=1,
+    )
 
 
 def pack_scene_jnp(scene):
@@ -425,13 +529,13 @@ def pack_camera(camera) -> np.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "spp", "max_depth", "n_spheres", "inclusive_uv",
-        "interpret",
+        "width", "height", "spp", "max_depth", "n_spheres", "n_tris",
+        "inclusive_uv", "interpret",
     ),
 )
 def _launch(
-    seed_arr, cam_arr, sph_arr, *, width, height, spp, max_depth, n_spheres,
-    inclusive_uv, interpret,
+    seed_arr, cam_arr, sph_arr, tri_arr, *, width, height, spp, max_depth,
+    n_spheres, n_tris, inclusive_uv, interpret,
 ):
     grid_h = pl.cdiv(height, TILE_H)
     grid_w = pl.cdiv(width, TILE_W)
@@ -445,6 +549,7 @@ def _launch(
         width=width,
         height=height,
         n_spheres=n_spheres,
+        n_tris=n_tris,
         inclusive_uv=inclusive_uv,
     )
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
@@ -459,10 +564,11 @@ def _launch(
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=(block, block, block),
         interpret=interpret,
-    )(seed_arr, cam_arr, sph_arr)
+    )(seed_arr, cam_arr, sph_arr, tri_arr)
 
 
 def render_flat_megakernel(
@@ -482,16 +588,21 @@ def render_flat_megakernel(
     Same estimator family as ``render_flat(semantics="physical")`` (different
     RNG stream, so agreement is statistical).  Sphere-only scenes.
     """
-    _check_sphere_only(scene)
+    _check_fused_supported(scene)
+    tri_arr = np.asarray(pack_triangles_jnp(scene), np.float32)
+    if tri_arr.shape[0] == 0:
+        tri_arr = np.zeros((1, N_TRI_FIELDS), np.float32)  # degenerate, no hits
     r, g, b = _launch(
         jnp.asarray([[seed]], jnp.int32),
         jnp.asarray(pack_camera(camera)),
         jnp.asarray(pack_scene(scene)),
+        jnp.asarray(tri_arr),
         width=width,
         height=height,
         spp=spp,
         max_depth=max_depth,
         n_spheres=scene.spheres.count,
+        n_tris=scene.triangles.count,
         inclusive_uv=inclusive_uv,
         interpret=interpret,
     )
@@ -505,11 +616,11 @@ def render_flat_megakernel(
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "spp", "max_depth", "n_spheres",
-                     "inclusive_uv"),
+                     "n_tris", "inclusive_uv"),
 )
 def _fused_xla(
-    seed_arr, cam_arr, sph_arr, *, width, height, spp, max_depth, n_spheres,
-    inclusive_uv,
+    seed_arr, cam_arr, sph_arr, tri_arr, *, width, height, spp, max_depth,
+    n_spheres, n_tris, inclusive_uv,
 ):
     h_pad = pl.cdiv(height, TILE_H) * TILE_H
     w_pad = pl.cdiv(width, TILE_W) * TILE_W
@@ -519,12 +630,16 @@ def _fused_xla(
     spheres = [
         tuple(sph_arr[k, f] for f in range(14)) for k in range(n_spheres)
     ]
+    triangles = [
+        tuple(tri_arr[k, f] for f in range(22)) for k in range(n_tris)
+    ]
     r, g, b = trace_tile(
         (row * width + col).astype(jnp.uint32),
         row.astype(jnp.float32),
         col.astype(jnp.float32),
         cam,
         spheres,
+        triangles,
         seed=seed_arr[0, 0],
         spp=spp,
         max_depth=max_depth,
@@ -555,7 +670,7 @@ def render_flat_fused(
     traced, so gradients flow to every material field and to the camera
     frame (the per-sample checkpoint in :func:`trace_tile` keeps backward
     memory flat)."""
-    _check_sphere_only(scene)
+    _check_fused_supported(scene)
     cam_arr = jnp.concatenate(
         [
             camera.origin,
@@ -565,15 +680,20 @@ def render_flat_fused(
             jnp.zeros(4, jnp.float32),
         ]
     )[None, :]
+    tri_arr = pack_triangles_jnp(scene)
+    if scene.triangles.count == 0:
+        tri_arr = jnp.zeros((1, N_TRI_FIELDS), jnp.float32)
     r, g, b = _fused_xla(
         jnp.asarray([[seed]], jnp.int32),
         cam_arr,
         pack_scene_jnp(scene),
+        tri_arr,
         width=width,
         height=height,
         spp=spp,
         max_depth=max_depth,
         n_spheres=scene.spheres.count,
+        n_tris=scene.triangles.count,
         inclusive_uv=inclusive_uv,
     )
     return _crop_flat(r, g, b, width, height)
@@ -614,12 +734,18 @@ def fused_rows(
         tuple(sph_arr[k, f] for f in range(14))
         for k in range(scene.spheres.count)
     ]
+    tri_arr = pack_triangles_jnp(scene)
+    triangles = [
+        tuple(tri_arr[k, f] for f in range(22))
+        for k in range(scene.triangles.count)
+    ]
     r, g, b = trace_tile(
         (row * width + col).astype(jnp.uint32),
         row.astype(jnp.float32),
         col.astype(jnp.float32),
         cam,
         spheres,
+        triangles,
         seed=seed,
         spp=spp,
         max_depth=max_depth,
@@ -631,11 +757,12 @@ def fused_rows(
     return jnp.reshape(jnp.stack([r, g, b], axis=-1), (n_rows * width, 3))
 
 
-def _check_sphere_only(scene):
-    if scene.triangles.count > 0:
+def _check_fused_supported(scene):
+    if scene.triangles.count > FUSED_TRI_LIMIT:
         raise ValueError(
-            "megakernel supports sphere scenes; triangle scenes use the "
-            "XLA wavefront path"
+            f"fused engines statically unroll primitives and support at most "
+            f"{FUSED_TRI_LIMIT} triangles (got {scene.triangles.count}); "
+            f"large meshes use the wavefront+BVH path"
         )
 
 

@@ -147,8 +147,14 @@ def select_engine(scene, semantics: str, spectral: bool, engine: str = "auto"):
     """
     if engine != "auto":
         return engine
-    sphere_only = scene.triangles.count == 0 and scene.spheres.count > 0
-    if sphere_only and semantics == "physical" and not spectral:
+    from .kernels.megakernel import FUSED_TRI_LIMIT
+
+    fusable = (
+        scene.bvh is None
+        and scene.triangles.count <= FUSED_TRI_LIMIT
+        and (scene.spheres.count + scene.triangles.count) > 0
+    )
+    if fusable and semantics == "physical" and not spectral:
         return "pallas" if jax.default_backend() == "tpu" else "fused"
     return "wavefront"
 

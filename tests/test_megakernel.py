@@ -83,13 +83,66 @@ def test_megakernel_deterministic_and_seed_sensitive():
     assert np.abs(a - c).max() > 0
 
 
-def test_megakernel_rejects_triangle_scenes():
-    scene = st.create_mesh_scene(subdivisions=1)
+def test_megakernel_rejects_large_triangle_scenes():
+    scene = st.create_mesh_scene(subdivisions=1)  # hundreds of triangles
     cam = st.default_camera(1.0)
     with pytest.raises(ValueError):
         render_flat_megakernel(
             scene, cam, width=128, height=8, spp=1, max_depth=1, interpret=True
         )
+
+
+def test_fused_triangles_match_wavefront():
+    """Small-mesh fused tracing (static triangle unroll) agrees with the
+    wavefront estimator — the Cornell box exercises quads + spheres."""
+    from spira_tpu.kernels.megakernel import render_flat_fused
+
+    scene = st.create_cornell_box()
+    cam = st.cornell_camera(1.0)
+    fz = np.asarray(
+        render_flat_fused(scene, cam, width=32, height=32, spp=32, max_depth=4,
+                          seed=0)
+    )
+    wf = np.asarray(
+        render_flat(scene, cam, width=32, height=32, spp=32, max_depth=4,
+                    seed=1)
+    )
+    wf2 = np.asarray(
+        render_flat(scene, cam, width=32, height=32, spp=32, max_depth=4,
+                    seed=2)
+    )
+    noise_floor = np.abs(wf - wf2).mean()  # wavefront-vs-wavefront MC noise
+    assert abs(fz.mean() - wf.mean()) < 0.06
+    assert np.abs(fz - wf).mean() < 1.2 * noise_floor
+
+
+def test_fused_triangle_geometry_exact():
+    """Primary-visibility check: a single bright emissive triangle renders
+    in the same pixels in fused and wavefront engines."""
+    tris = st.make_triangles(
+        [[-0.5, -0.5, -2.0], [0.5, -0.5, -2.0], [0.0, 0.6, -2.0]],
+        [[0, 1, 2]], 0,
+    )
+    mats = st.make_materials(
+        [dict(albedo=(1.0, 1.0, 1.0), emission=(10.0, 10.0, 10.0))]
+    )
+    scene = st.make_scene(triangles=tris, materials=mats)
+    cam = st.make_camera(lookfrom=(0, 0, 1), lookat=(0, 0, -2), vfov=60,
+                         aspect_ratio=1.0)
+    from spira_tpu.kernels.megakernel import render_flat_fused
+
+    fz = np.asarray(
+        render_flat_fused(scene, cam, width=48, height=48, spp=4, max_depth=1,
+                          seed=0)
+    ).reshape(48, 48, 3)
+    wf = np.asarray(
+        render_flat(scene, cam, width=48, height=48, spp=4, max_depth=1, seed=0)
+    ).reshape(48, 48, 3)
+    # emissive pixels (radiance > 5) must be the same set up to jitter noise
+    a = fz.mean(-1) > 5
+    b = wf.mean(-1) > 5
+    assert (a == b).mean() > 0.97
+    assert a.sum() > 50
 
 
 def test_megakernel_padding_tiles():
