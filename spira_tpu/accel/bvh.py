@@ -48,6 +48,12 @@ class FlatBVH:
     right: jnp.ndarray  # (M,) int32 — child index | prim count
     is_leaf: jnp.ndarray  # (M,) int32 0/1
     prim_idx: jnp.ndarray  # (T,) int32 permutation into the triangle SoA
+    # Stackless-traversal links (filled by add_links): parent node (-1 at
+    # the root), sibling (-1 = none, e.g. under a two-level redirect), and
+    # whether this node is its parent's left child.
+    parent: jnp.ndarray = None  # (M,) int32
+    sibling: jnp.ndarray = None  # (M,) int32
+    is_left: jnp.ndarray = None  # (M,) int32 0/1
     max_leaf: int = LEAF_SIZE  # static: largest leaf count (unroll bound)
 
     @property
@@ -64,6 +70,34 @@ class _BuildArrays:
     is_leaf: list
 
 
+def add_links(bvh: FlatBVH) -> FlatBVH:
+    """Compute parent/sibling/is_left arrays for stackless traversal."""
+    left = np.asarray(bvh.left)
+    right = np.asarray(bvh.right)
+    is_leaf = np.asarray(bvh.is_leaf)
+    m = left.shape[0]
+    parent = np.full(m, -1, np.int32)
+    sibling = np.full(m, -1, np.int32)
+    is_left_arr = np.zeros(m, np.int32)
+    internal = np.nonzero(is_leaf == 0)[0].astype(np.int32)
+    l, r = left[internal], right[internal]
+    parent[l] = internal
+    is_left_arr[l] = 1
+    # redirect nodes (two-level stitch) have a single child (l == r) whose
+    # sibling stays -1
+    two = internal[l != r]
+    parent[right[two]] = two
+    sibling[left[two]] = right[two]
+    sibling[right[two]] = left[two]
+
+    return dataclasses.replace(
+        bvh,
+        parent=jnp.asarray(parent),
+        sibling=jnp.asarray(sibling),
+        is_left=jnp.asarray(is_left_arr),
+    )
+
+
 def build_bvh(
     lo: np.ndarray, hi: np.ndarray, leaf_size: int = LEAF_SIZE
 ) -> FlatBVH:
@@ -71,7 +105,7 @@ def build_bvh(
     arrays, order = _build_arrays(lo, hi, leaf_size)
     leaf = np.asarray(arrays.is_leaf) == 1
     max_leaf = int(np.asarray(arrays.right)[leaf].max())
-    return FlatBVH(
+    return add_links(FlatBVH(
         node_min=jnp.asarray(np.asarray(arrays.node_min, np.float32)),
         node_max=jnp.asarray(np.asarray(arrays.node_max, np.float32)),
         left=jnp.asarray(np.asarray(arrays.left, np.int32)),
@@ -79,7 +113,7 @@ def build_bvh(
         is_leaf=jnp.asarray(np.asarray(arrays.is_leaf, np.int32)),
         prim_idx=jnp.asarray(order.astype(np.int32)),
         max_leaf=max_leaf,
-    )
+    ))
 
 
 def _build_arrays(lo, hi, leaf_size):
@@ -226,7 +260,7 @@ def build_two_level(mesh_triangle_list, leaf_size: int = LEAF_SIZE):
     leaf_all = np.where(leaf_all == 2, 0, leaf_all)
 
     max_leaf = int(right_all[leaf_all == 1].max())
-    bvh = FlatBVH(
+    bvh = add_links(FlatBVH(
         node_min=jnp.asarray(np.concatenate(node_min), jnp.float32),
         node_max=jnp.asarray(np.concatenate(node_max), jnp.float32),
         left=jnp.asarray(left_all, jnp.int32),
@@ -234,7 +268,7 @@ def build_two_level(mesh_triangle_list, leaf_size: int = LEAF_SIZE):
         is_leaf=jnp.asarray(leaf_all, jnp.int32),
         prim_idx=jnp.asarray(np.concatenate(prim_idx_parts), jnp.int32),
         max_leaf=max_leaf,
-    )
+    ))
     return bvh, concat_triangles(tri_parts)
 
 

@@ -108,9 +108,11 @@ def build_bvh_native(
     )
     if m < 0:
         raise RuntimeError("native BVH build failed")
+    from .bvh import add_links
+
     leaf_mask = is_leaf[:m] == 1
     max_leaf = int(right[:m][leaf_mask].max())
-    return FlatBVH(
+    return add_links(FlatBVH(
         node_min=jnp.asarray(node_min[:m]),
         node_max=jnp.asarray(node_max[:m]),
         left=jnp.asarray(left[:m]),
@@ -118,7 +120,7 @@ def build_bvh_native(
         is_leaf=jnp.asarray(is_leaf[:m]),
         prim_idx=jnp.asarray(prim_idx),
         max_leaf=max_leaf,
-    )
+    ))
 
 
 def build_bvh_best(lo, hi, leaf_size: int = LEAF_SIZE) -> FlatBVH:

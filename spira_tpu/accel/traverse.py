@@ -1,20 +1,23 @@
-"""Vectorized, masked BVH traversal over a ray wavefront (pure XLA).
+"""Vectorized BVH traversal over a ray wavefront (pure XLA).
 
-Mirrors the complete MSL traversal `hit_bvh`
-(`/root/reference/examples/julia-raytracer-optimized.jl:1710-1775`): iterative
-with an explicit 64-deep stack, push right-then-left, leaf → primitive tests,
-nearest-hit tracking.  Instead of one scalar stack per GPU thread, every ray
-in the wavefront carries a (MAX_STACK,) lane in a (N, MAX_STACK) stack array;
-the loop runs while *any* ray has work (`lax.while_loop`, condition evaluated
-on device — no host sync), dead rays are masked.  Divergence shows up as
-masked-off lanes, the cost model SURVEY.md §7 flags as the hard part; the
-Pallas kernel in `spira_tpu.kernels` is the optimized path, this is the
-always-correct reference (and the gradient-capable one).
+Two implementations of the reference's GPU traversal (`hit_bvh`,
+`/root/reference/examples/julia-raytracer-optimized.jl:1710-1775`):
 
-Known-broken variant to avoid: the reference's Julia-kernel traversal never
-pushes the right child (`/root/reference/examples/spira-metal-raytracer.jl:606`)
-— `test_bvh.py` compares exhaustively against brute force to rule that class
-of bug out.
+* :func:`intersect_bvh` — **stackless** state-machine traversal (Hapala et
+  al. 2011 style: parent/sibling links, ENTER/LEAVE states).  The production
+  path on TPU: gathers and scatters are the expensive ops on a vector
+  machine, so the per-iteration footprint is exactly two packed node-table
+  gathers and two leaf gathers — and **zero scatters** (no per-ray stack
+  array to update).
+* :func:`intersect_bvh_stack` — the literal stack-per-ray form (64-deep,
+  push right then left), kept as the structural mirror of the MSL kernel and
+  as a differential-testing oracle for the stackless version.
+
+Both run a device-side `lax.while_loop` until every ray finishes (no host
+sync); dead lanes are masked.  The reference's own broken variant (left
+child never pushed, `/root/reference/examples/spira-metal-raytracer.jl:606`)
+is the cautionary tale: tests compare both traversals against brute force
+exhaustively.
 """
 
 from __future__ import annotations
@@ -41,44 +44,140 @@ def _slab_test(node_min, node_max, origins, inv_dir, t_max):
     return tmin <= tmax
 
 
-def _mt_single(v0, e1, e2, origins, directions, t_min, t_max):
-    """Möller–Trumbore for one gathered triangle per ray; all (N,3)."""
-    pvec = jnp.cross(directions, e2)
-    det = vm.dot(e1, pvec)
-    det_ok = jnp.abs(det) > 1e-12
-    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
-    tvec = origins - v0
-    u = vm.dot(tvec, pvec) * inv_det
-    qvec = jnp.cross(tvec, e1)
-    v = vm.dot(directions, qvec) * inv_det
-    t = vm.dot(e2, qvec) * inv_det
-    valid = (
-        (jnp.abs(det) > 1e-9)
-        & (u >= 0.0)
-        & (v >= 0.0)
-        & (u + v <= 1.0)
-        & (t > t_min)
-        & (t < t_max)
+def _safe_inv(directions):
+    return jnp.where(
+        jnp.abs(directions) > 1e-12, 1.0 / directions, jnp.float32(1e12)
     )
-    return t, valid
 
 
 def intersect_bvh(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
-    """Nearest triangle hit per ray through the flat BVH.
+    """Stackless nearest-hit traversal (production path)."""
+    leaf_size = bvh.max_leaf
+    n_prims = tris.count
+    inv_dir = _safe_inv(directions)
+
+    # Packed tables: one float gather + one int gather per node visit
+    # (loop-invariant; XLA hoists the packing out of the while loop).
+    nodes_f = jnp.concatenate([bvh.node_min, bvh.node_max], axis=1)  # (M,6)
+    nodes_i = jnp.stack(
+        [bvh.left, bvh.right, bvh.is_leaf, bvh.parent, bvh.sibling,
+         bvh.is_left],
+        axis=1,
+    )  # (M,6)
+    tris9 = jnp.concatenate([tris.v0, tris.e1, tris.e2], axis=1)  # (T,9)
+
+    zero_i = (origins[:, 0] * 0).astype(jnp.int32)
+    state = (
+        zero_i,  # cur node (root)
+        zero_i < 1,  # entering (all True)
+        zero_i > 0,  # done (all False)
+        origins[:, 0] * 0 + INF,  # best_t
+        zero_i,  # best_prim
+        jnp.sum(zero_i),  # iteration counter (varying-typed scalar)
+    )
+    max_iters = 4 * bvh.node_count + 64  # safety bound
+
+    slot_offsets = jnp.arange(leaf_size, dtype=jnp.int32)
+
+    def cond(s):
+        _, _, done, _, _, it = s
+        return jnp.any(~done) & (it < max_iters)
+
+    def body(s):
+        cur, entering, done, best_t, best_prim, it = s
+
+        nf = nodes_f[cur]  # (N,6)
+        ni = nodes_i[cur]  # (N,6)
+        left = ni[:, 0]
+        right = ni[:, 1]
+        is_leaf = ni[:, 2] == 1
+        parent = ni[:, 3]
+        sibling = ni[:, 4]
+        is_left = ni[:, 5] == 1
+
+        active = entering & ~done
+        box_hit = _slab_test(nf[:, 0:3], nf[:, 3:6], origins, inv_dir, best_t)
+        box_hit = box_hit & active
+
+        # ---- leaf: test up to leaf_size primitives in two gathers
+        leaf_proc = box_hit & is_leaf
+        slots = jnp.clip(
+            left[:, None] + slot_offsets[None, :], 0, max(n_prims - 1, 0)
+        )  # (N,L)
+        prims = bvh.prim_idx[slots]  # (N,L)
+        td = tris9[prims]  # (N,L,9)
+        v0 = td[..., 0:3]
+        e1 = td[..., 3:6]
+        e2 = td[..., 6:9]
+        d_ = directions[:, None, :]
+        o_ = origins[:, None, :]
+        pvec = jnp.cross(d_, e2)
+        det = jnp.sum(e1 * pvec, axis=-1)  # (N,L)
+        det_ok = jnp.abs(det) > 1e-9
+        inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+        tvec = o_ - v0
+        uu = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        vv = jnp.sum(d_ * qvec, axis=-1) * inv_det
+        tt = jnp.sum(e2 * qvec, axis=-1) * inv_det
+        valid = (
+            det_ok
+            & (uu >= 0.0)
+            & (vv >= 0.0)
+            & (uu + vv <= 1.0)
+            & (tt > t_min)
+            & (tt < best_t[:, None])
+            & leaf_proc[:, None]
+            & (slot_offsets[None, :] < right[:, None])  # right = leaf count
+        )
+        tt = jnp.where(valid, tt, INF)
+        slot_min = jnp.min(tt, axis=1)
+        slot_arg = jnp.argmin(tt, axis=1)
+        closer = slot_min < best_t
+        best_t = jnp.where(closer, slot_min, best_t)
+        best_prim = jnp.where(
+            closer,
+            jnp.take_along_axis(prims, slot_arg[:, None], 1)[:, 0],
+            best_prim,
+        )
+
+        # ---- transitions (Hapala state machine)
+        descend = box_hit & ~is_leaf
+        has_sib = is_left & (sibling >= 0)
+        up_next = jnp.where(has_sib, sibling, parent)
+        finish = ~descend & ~done
+        new_done = done | (finish & (cur == 0))
+        next_cur = jnp.where(descend, left, up_next)
+        next_cur = jnp.where(new_done, cur * 0, jnp.maximum(next_cur, 0))
+        next_entering = descend | (~descend & has_sib)
+
+        return (next_cur, next_entering, new_done, best_t, best_prim, it + 1)
+
+    _, _, _, best_t, best_prim, _ = jax.lax.while_loop(cond, body, state)
+
+    hit = best_t < INF
+    return Hit(
+        t=best_t,
+        normal=tris.normal[best_prim],
+        material=tris.material[best_prim],
+        hit=hit,
+    )
+
+
+def intersect_bvh_stack(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
+    """Stack-per-ray traversal (the MSL kernel's literal shape); testing
+    oracle for :func:`intersect_bvh`.
 
     Wavefront state: per-ray stack (N, MAX_STACK+1) — the last column is a
     write-discard slot for masked pushes — stack pointer, and running
     nearest-hit registers.
     """
     n = origins.shape[0]
-    leaf_size = bvh.max_leaf  # static unroll bound for leaf primitive tests
+    leaf_size = bvh.max_leaf
     rows = jnp.arange(n)
+    inv_dir = _safe_inv(directions)
 
-    inv_dir = jnp.where(
-        jnp.abs(directions) > 1e-12, 1.0 / directions, jnp.float32(1e12)
-    )
-
-    zero_i = (origins[:, 0] * 0).astype(jnp.int32)  # varying-typed zeros
+    zero_i = (origins[:, 0] * 0).astype(jnp.int32)
     stack = jnp.zeros((n, MAX_STACK + 1), jnp.int32) + zero_i[:, None]
     ptr = zero_i + 1  # root (node 0) pre-pushed at slot 0
     best_t = origins[:, 0] * 0 + INF
@@ -112,11 +211,25 @@ def intersect_bvh(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
             v0 = tris.v0[prim]
             e1 = tris.e1[prim]
             e2 = tris.e2[prim]
-            t, valid = _mt_single(
-                v0, e1, e2, origins, directions, t_min, best_t
+            pvec = jnp.cross(directions, e2)
+            det = vm.dot(e1, pvec)
+            det_ok = jnp.abs(det) > 1e-9
+            inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+            tvec = origins - v0
+            uu = vm.dot(tvec, pvec) * inv_det
+            qvec = jnp.cross(tvec, e1)
+            vv = vm.dot(directions, qvec) * inv_det
+            tt = vm.dot(e2, qvec) * inv_det
+            valid = (
+                det_ok
+                & (uu >= 0.0)
+                & (vv >= 0.0)
+                & (uu + vv <= 1.0)
+                & (tt > t_min)
+                & (tt < best_t)
             )
             closer = prim_valid & valid
-            best_t = jnp.where(closer, t, best_t)
+            best_t = jnp.where(closer, tt, best_t)
             best_prim = jnp.where(closer, prim, best_prim)
 
         # Internal: push right then left (left popped first, like the MSL

@@ -137,13 +137,16 @@ def accumulate_rows(
     return acc
 
 
-def select_engine(scene, semantics: str, spectral: bool, engine: str = "auto"):
+def select_engine(
+    scene, semantics: str, spectral: bool, engine: str = "auto", camera=None
+):
     """Resolve the execution engine.
 
-    * ``pallas``   — fused Pallas megakernel (TPU; sphere scenes, physical)
+    * ``pallas``   — fused Pallas megakernel (TPU; small scenes, physical)
     * ``fused``    — same fused tracer as one XLA computation (any backend)
     * ``wavefront``— the general masked-scan estimator (triangles/BVH,
-      spectral transport, reference semantics, gradients with overrides)
+      spectral transport, reference semantics, thin-lens cameras, gradients
+      with overrides)
     """
     if engine != "auto":
         return engine
@@ -154,6 +157,8 @@ def select_engine(scene, semantics: str, spectral: bool, engine: str = "auto"):
         and scene.triangles.count <= FUSED_TRI_LIMIT
         and (scene.spheres.count + scene.triangles.count) > 0
     )
+    if camera is not None and float(camera.lens_radius) > 0.0:
+        fusable = False  # fused raygen is pinhole-only (no lens sampling)
     if fusable and semantics == "physical" and not spectral:
         return "pallas" if jax.default_backend() == "tpu" else "fused"
     return "wavefront"
@@ -166,7 +171,7 @@ def render_flat_engine(
     """render_flat with engine dispatch (same estimator family; the fused
     engines use the PCG4D RNG stream, the wavefront engine threefry — images
     agree statistically, not bitwise)."""
-    engine = select_engine(scene, semantics, spectral, engine)
+    engine = select_engine(scene, semantics, spectral, engine, camera=camera)
     if engine in ("pallas", "fused"):
         from .kernels.megakernel import (
             render_flat_fused,

@@ -157,3 +157,36 @@ def test_native_sah_quality_not_worse_than_median():
     sah = build_bvh_native(lo, hi)
     med = build_bvh(lo, hi)
     assert sah.node_count <= med.node_count
+
+
+def test_stackless_equals_stack_traversal():
+    """The production stackless traversal must agree exactly with the
+    stack-per-ray oracle (and hence with brute force)."""
+    from spira_tpu.accel.traverse import intersect_bvh_stack
+
+    for n_tris, seed in [(5, 31), (64, 32), (700, 33)]:
+        tris = random_soup(n_tris, seed)
+        bvh = build_bvh_for_triangles(tris)
+        o, d = random_rays(256, seed + 500)
+        a = intersect_bvh(bvh, tris, o, d)
+        b = intersect_bvh_stack(bvh, tris, o, d)
+        np.testing.assert_array_equal(np.asarray(a.hit), np.asarray(b.hit))
+        m = np.asarray(a.hit)
+        np.testing.assert_allclose(
+            np.asarray(a.t)[m], np.asarray(b.t)[m], rtol=1e-6
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a.material)[m], np.asarray(b.material)[m]
+        )
+
+
+def test_stackless_two_level_with_redirects():
+    meshes = [
+        icosphere(center=(-2, 0, -4), radius=1.0, subdivisions=2),
+        cube(center=(2, 0, -4), size=1.5),
+    ]
+    bvh, tris = build_two_level(meshes)
+    o, d = random_rays(300, seed=41)
+    assert_hits_match(
+        intersect_bvh(bvh, tris, o, d), intersect_triangles(tris, o, d)
+    )

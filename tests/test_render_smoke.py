@@ -81,3 +81,40 @@ def test_bunny_tier_mesh_scene_render():
     assert 0.1 < a.mean() < 0.95
     # mesh occupies the center: center differs from sky at the top corner
     assert abs(a[24, 32].mean() - a[0, 0].mean()) > 0.02
+
+
+def test_depth_of_field_blur_and_dispatch():
+    """Thin-lens cameras must blur with aperture, and auto-dispatch must not
+    route them to the pinhole-only fused engines."""
+    from spira_tpu.render import select_engine
+
+    scene = st.create_scene()
+    sharp_cam = st.make_camera(
+        lookfrom=(0, 0.5, 3), lookat=(0, 0, 0), vfov=45, aspect_ratio=2.0,
+        aperture=0.0, focus_dist=3.0,
+    )
+    # focus far in front of the light so it lands well out of focus
+    blur_cam = st.make_camera(
+        lookfrom=(0, 1, 3), lookat=(0, 5, 0), vfov=30, aspect_ratio=2.0,
+        aperture=1.0, focus_dist=1.0,
+    )
+    assert select_engine(scene, "physical", False, camera=sharp_cam) == "fused"
+    assert (
+        select_engine(scene, "physical", False, camera=blur_cam) == "wavefront"
+    )
+    sharp_light_cam = st.make_camera(
+        lookfrom=(0, 1, 3), lookat=(0, 5, 0), vfov=30, aspect_ratio=2.0,
+        aperture=0.0,
+    )
+    sharp = np.asarray(
+        st.render_hdr(scene, sharp_light_cam, 64, 32, spp=32, max_depth=2,
+                      seed=4, engine="wavefront")
+    )
+    blur = np.asarray(
+        st.render_hdr(scene, blur_cam, 64, 32, spp=32, max_depth=2, seed=4,
+                      engine="wavefront")
+    )
+    # defocus spreads the bright emitter: the hot in-focus peak disappears
+    assert (sharp.mean(-1) > 4).mean() > 0.1
+    assert (blur.mean(-1) > 4).mean() < 0.02
+    assert blur.max() < 0.8 * sharp.max()
