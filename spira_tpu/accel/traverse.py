@@ -75,15 +75,18 @@ def intersect_bvh(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
         zero_i,  # best_prim
         jnp.sum(zero_i),  # iteration counter (varying-typed scalar)
     )
+    # TPU cost notes (measured): the while_loop condition is a cross-lane
+    # reduction that serializes ~300 µs per check, and 2-D (N,L,9) gathers
+    # are ~70× slower than row gathers.  Hence: CHUNK traversal steps per
+    # while check, and gather leaf primitives as per-slot 1-D row gathers.
+    chunk = 8
     max_iters = 4 * bvh.node_count + 64  # safety bound
-
-    slot_offsets = jnp.arange(leaf_size, dtype=jnp.int32)
 
     def cond(s):
         _, _, done, _, _, it = s
         return jnp.any(~done) & (it < max_iters)
 
-    def body(s):
+    def step(s):
         cur, entering, done, best_t, best_prim, it = s
 
         nf = nodes_f[cur]  # (N,6)
@@ -99,47 +102,36 @@ def intersect_bvh(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
         box_hit = _slab_test(nf[:, 0:3], nf[:, 3:6], origins, inv_dir, best_t)
         box_hit = box_hit & active
 
-        # ---- leaf: test up to leaf_size primitives in two gathers
+        # ---- leaf: per-slot 1-D row gathers
         leaf_proc = box_hit & is_leaf
-        slots = jnp.clip(
-            left[:, None] + slot_offsets[None, :], 0, max(n_prims - 1, 0)
-        )  # (N,L)
-        prims = bvh.prim_idx[slots]  # (N,L)
-        td = tris9[prims]  # (N,L,9)
-        v0 = td[..., 0:3]
-        e1 = td[..., 3:6]
-        e2 = td[..., 6:9]
-        d_ = directions[:, None, :]
-        o_ = origins[:, None, :]
-        pvec = jnp.cross(d_, e2)
-        det = jnp.sum(e1 * pvec, axis=-1)  # (N,L)
-        det_ok = jnp.abs(det) > 1e-9
-        inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
-        tvec = o_ - v0
-        uu = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, e1)
-        vv = jnp.sum(d_ * qvec, axis=-1) * inv_det
-        tt = jnp.sum(e2 * qvec, axis=-1) * inv_det
-        valid = (
-            det_ok
-            & (uu >= 0.0)
-            & (vv >= 0.0)
-            & (uu + vv <= 1.0)
-            & (tt > t_min)
-            & (tt < best_t[:, None])
-            & leaf_proc[:, None]
-            & (slot_offsets[None, :] < right[:, None])  # right = leaf count
-        )
-        tt = jnp.where(valid, tt, INF)
-        slot_min = jnp.min(tt, axis=1)
-        slot_arg = jnp.argmin(tt, axis=1)
-        closer = slot_min < best_t
-        best_t = jnp.where(closer, slot_min, best_t)
-        best_prim = jnp.where(
-            closer,
-            jnp.take_along_axis(prims, slot_arg[:, None], 1)[:, 0],
-            best_prim,
-        )
+        for j in range(leaf_size):
+            prim_valid = leaf_proc & (j < right)  # right = leaf count
+            slot = jnp.clip(left + j, 0, max(n_prims - 1, 0))
+            prim = bvh.prim_idx[slot]  # (N,)
+            td = tris9[prim]  # (N,9)
+            v0 = td[:, 0:3]
+            e1 = td[:, 3:6]
+            e2 = td[:, 6:9]
+            pvec = jnp.cross(directions, e2)
+            det = jnp.sum(e1 * pvec, axis=-1)
+            det_ok = jnp.abs(det) > 1e-9
+            inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+            tvec = origins - v0
+            uu = jnp.sum(tvec * pvec, axis=-1) * inv_det
+            qvec = jnp.cross(tvec, e1)
+            vv = jnp.sum(directions * qvec, axis=-1) * inv_det
+            tt = jnp.sum(e2 * qvec, axis=-1) * inv_det
+            closer = (
+                prim_valid
+                & det_ok
+                & (uu >= 0.0)
+                & (vv >= 0.0)
+                & (uu + vv <= 1.0)
+                & (tt > t_min)
+                & (tt < best_t)
+            )
+            best_t = jnp.where(closer, tt, best_t)
+            best_prim = jnp.where(closer, prim, best_prim)
 
         # ---- transitions (Hapala state machine)
         descend = box_hit & ~is_leaf
@@ -152,6 +144,11 @@ def intersect_bvh(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
         next_entering = descend | (~descend & has_sib)
 
         return (next_cur, next_entering, new_done, best_t, best_prim, it + 1)
+
+    def body(s):
+        for _ in range(chunk):
+            s = step(s)
+        return s
 
     _, _, _, best_t, best_prim, _ = jax.lax.while_loop(cond, body, state)
 

@@ -202,3 +202,59 @@ def sample_spd(table, lam):
         v0 = jnp.take_along_axis(table, i0, axis=-1)
         v1 = jnp.take_along_axis(table, i1, axis=-1)
     return v0 * (1.0 - w) + v1 * w
+
+
+# ----------------------------------------------------------------------------
+# Chebyshev SPD compression (for the fused spectral engine)
+# ----------------------------------------------------------------------------
+#: Chebyshev degree used by the fused spectral tracer — evaluation is a
+#: D-step recurrence of elementwise ops, so SPDs become per-material scalar
+#: coefficient sets instead of gather-indexed tables.
+N_CHEB = 12
+
+
+def _lambda_to_unit(lam):
+    """Map [LAMBDA_MIN, LAMBDA_MAX] → [-1, 1]."""
+    return 2.0 * (lam - LAMBDA_MIN) / (LAMBDA_MAX - LAMBDA_MIN) - 1.0
+
+
+def chebyshev_fit(table: np.ndarray, degree: int = N_CHEB) -> np.ndarray:
+    """Least-squares Chebyshev fit of SPD tables.
+
+    table: (..., K) values on SPD_GRID → coeffs (..., degree).  Host-side
+    NumPy (runs once at scene pack time).
+    """
+    table = np.asarray(table, np.float64)
+    x = _lambda_to_unit(SPD_GRID.astype(np.float64))
+    # Vandermonde of Chebyshev polynomials T_0..T_{degree-1} at the grid.
+    v = np.polynomial.chebyshev.chebvander(x, degree - 1)  # (K, D)
+    coeffs, *_ = np.linalg.lstsq(v, table.reshape(-1, table.shape[-1]).T,
+                                 rcond=None)
+    return np.ascontiguousarray(
+        coeffs.T.reshape(table.shape[:-1] + (degree,))
+    ).astype(np.float32)
+
+
+def chebyshev_eval(coeffs, lam):
+    """Evaluate Chebyshev coefficients at wavelengths.
+
+    coeffs: sequence of D broadcastable scalars/arrays (or an (..., D)
+    array); lam: any shape.  Pure elementwise jnp — usable inside Pallas.
+    """
+    x = _lambda_to_unit(lam)
+    if hasattr(coeffs, "shape"):
+        coeffs = [coeffs[..., i] for i in range(coeffs.shape[-1])]
+    # Clenshaw recurrence.
+    b1 = jnp.zeros_like(x)
+    b2 = jnp.zeros_like(x)
+    for c in reversed(coeffs[1:]):
+        b1, b2 = 2.0 * x * b1 - b2 + c, b1
+    return x * b1 - b2 + coeffs[0]
+
+
+#: Chebyshev coefficients of the Smits basis spectra (for device-side
+#: upsampling of the analytic sky gradient, where r <= g <= b always holds).
+SMITS_CHEB = {
+    name: chebyshev_fit(vals[None, :])[0]
+    for name, vals in _SMITS_RESAMPLED.items()
+}

@@ -173,6 +173,14 @@ def render_flat_engine(
     agree statistically, not bitwise)."""
     engine = select_engine(scene, semantics, spectral, engine, camera=camera)
     if engine in ("pallas", "fused"):
+        if spectral:
+            # fused spectral engine (Chebyshev SPDs); no Pallas variant yet
+            from .kernels.spectral_fused import render_flat_fused_spectral
+
+            return render_flat_fused_spectral(
+                scene, camera, width=width, height=height, spp=spp,
+                max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
+            )
         from .kernels.megakernel import (
             render_flat_fused,
             render_flat_megakernel,

@@ -178,3 +178,63 @@ def test_spectral_gradients_flow_to_spd():
     g = np.asarray(g)
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def test_fused_spectral_matches_wavefront():
+    """The fused spectral engine (Chebyshev SPDs, PCG RNG) implements the
+    same hero-wavelength estimator as the wavefront path."""
+    from spira_tpu.kernels.spectral_fused import render_flat_fused_spectral
+
+    scene = st.create_cornell_box()
+    cam = st.cornell_camera(1.0)
+    fz = np.asarray(
+        render_flat_fused_spectral(
+            scene, cam, width=24, height=24, spp=24, max_depth=4, seed=0
+        )
+    )
+    wf1 = np.asarray(
+        render_flat(scene, cam, width=24, height=24, spp=24, max_depth=4,
+                    seed=1, spectral=True)
+    )
+    wf2 = np.asarray(
+        render_flat(scene, cam, width=24, height=24, spp=24, max_depth=4,
+                    seed=2, spectral=True)
+    )
+    noise_floor = np.abs(wf1 - wf2).mean()
+    assert abs(fz.mean() - wf1.mean()) < 0.07
+    assert np.abs(fz - wf1).mean() < 1.25 * noise_floor
+
+
+def test_fused_spectral_via_render_api():
+    scene = st.create_scene()
+    cam = st.default_camera(2.0)
+    img = st.render(
+        scene, cam, 32, 16, samples_per_pixel=4, max_depth=3, spectral=True,
+        engine="fused",
+    )
+    assert img.shape == (16, 32, 3)
+    a = np.asarray(img, np.float32) / 255.0
+    assert 0.1 < a.mean() < 0.95
+
+
+def test_fused_spectral_spd_gradients():
+    """Gradients flow to albedo_spd through the Chebyshev projection."""
+    import jax
+
+    from spira_tpu.core.types import replace as dc_replace
+    from spira_tpu.kernels.spectral_fused import render_flat_fused_spectral
+
+    scene = st.create_scene()
+    cam = st.default_camera(2.0)
+
+    def loss(spd):
+        mats = dc_replace(scene.materials, albedo_spd=spd)
+        img = render_flat_fused_spectral(
+            dc_replace(scene, materials=mats), cam, width=32, height=8,
+            spp=2, max_depth=3, seed=0,
+        )
+        return jnp.mean(img**2)
+
+    g = np.asarray(jax.grad(loss)(scene.materials.albedo_spd))
+    assert np.isfinite(g).all()
+    assert np.abs(g).max() > 0
