@@ -125,13 +125,22 @@ def _make_step(optimizer, width, height, spp, max_depth, semantics, spectral, me
         )
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        # Parameters live in [0, ∞) (albedo additionally in [0,1]); simple
-        # projection keeps Adam iterates physical.
+        # Parameters live in [0, ∞) (albedo/reflectance additionally in
+        # [0, 1]); simple projection keeps Adam iterates physical and curbs
+        # drift along metamer directions for SPD tables.
         if "albedo" in params:
             params = dict(params, albedo=jnp.clip(params["albedo"], 0.0, 1.0))
+        if "albedo_spd" in params:
+            params = dict(
+                params, albedo_spd=jnp.clip(params["albedo_spd"], 0.0, 1.0)
+            )
         if "emission" in params:
             params = dict(
                 params, emission=jnp.maximum(params["emission"], 0.0)
+            )
+        if "emission_spd" in params:
+            params = dict(
+                params, emission_spd=jnp.maximum(params["emission_spd"], 0.0)
             )
         return params, opt_state, loss
 

@@ -517,6 +517,19 @@ def pack_scene(scene) -> np.ndarray:
     return out
 
 
+def pack_camera_jnp(camera):
+    """Traced (1, 16) camera record (differentiable in the camera frame)."""
+    return jnp.concatenate(
+        [
+            camera.origin,
+            camera.lower_left_corner,
+            camera.horizontal,
+            camera.vertical,
+            jnp.zeros(4, jnp.float32),
+        ]
+    )[None, :]
+
+
 def pack_camera(camera) -> np.ndarray:
     out = np.zeros((1, 16), np.float32)
     out[0, 0:3] = np.asarray(camera.origin)
@@ -534,9 +547,19 @@ def pack_camera(camera) -> np.ndarray:
     ),
 )
 def _launch(
-    seed_arr, cam_arr, sph_arr, tri_arr, *, width, height, spp, max_depth,
+    seed_arr, scene, camera, *, width, height, spp, max_depth,
     n_spheres, n_tris, inclusive_uv, interpret,
 ):
+    # All packing happens inside jit: eager jnp ops here would dispatch tiny
+    # device programs (and sync) per call — ~50 ms each through the remote
+    # tunnel, a 10x throughput regression when it was done eagerly.
+    cam_arr = pack_camera_jnp(camera)
+    sph_arr = pack_scene_jnp(scene)
+    tri_arr = (
+        pack_triangles_jnp(scene)
+        if n_tris > 0
+        else jnp.zeros((1, N_TRI_FIELDS), jnp.float32)
+    )
     grid_h = pl.cdiv(height, TILE_H)
     grid_w = pl.cdiv(width, TILE_W)
     h_pad = grid_h * TILE_H
@@ -586,17 +609,13 @@ def render_flat_megakernel(
     """Pallas-kernel render → flat (H*W, 3) bottom-up HDR buffer.
 
     Same estimator family as ``render_flat(semantics="physical")`` (different
-    RNG stream, so agreement is statistical).  Sphere-only scenes.
+    RNG stream, so agreement is statistical).  Small scenes (static unroll).
     """
     _check_fused_supported(scene)
-    tri_arr = np.asarray(pack_triangles_jnp(scene), np.float32)
-    if tri_arr.shape[0] == 0:
-        tri_arr = np.zeros((1, N_TRI_FIELDS), np.float32)  # degenerate, no hits
     r, g, b = _launch(
         jnp.asarray([[seed]], jnp.int32),
-        jnp.asarray(pack_camera(camera)),
-        jnp.asarray(pack_scene(scene)),
-        jnp.asarray(tri_arr),
+        scene,
+        camera,
         width=width,
         height=height,
         spp=spp,
@@ -619,9 +638,16 @@ def render_flat_megakernel(
                      "n_tris", "inclusive_uv"),
 )
 def _fused_xla(
-    seed_arr, cam_arr, sph_arr, tri_arr, *, width, height, spp, max_depth,
+    seed_arr, scene, camera, *, width, height, spp, max_depth,
     n_spheres, n_tris, inclusive_uv,
 ):
+    cam_arr = pack_camera_jnp(camera)
+    sph_arr = pack_scene_jnp(scene)
+    tri_arr = (
+        pack_triangles_jnp(scene)
+        if n_tris > 0
+        else jnp.zeros((1, N_TRI_FIELDS), jnp.float32)
+    )
     h_pad = pl.cdiv(height, TILE_H) * TILE_H
     w_pad = pl.cdiv(width, TILE_W) * TILE_W
     row = jax.lax.broadcasted_iota(jnp.int32, (h_pad, w_pad), 0)
@@ -671,23 +697,10 @@ def render_flat_fused(
     frame (the per-sample checkpoint in :func:`trace_tile` keeps backward
     memory flat)."""
     _check_fused_supported(scene)
-    cam_arr = jnp.concatenate(
-        [
-            camera.origin,
-            camera.lower_left_corner,
-            camera.horizontal,
-            camera.vertical,
-            jnp.zeros(4, jnp.float32),
-        ]
-    )[None, :]
-    tri_arr = pack_triangles_jnp(scene)
-    if scene.triangles.count == 0:
-        tri_arr = jnp.zeros((1, N_TRI_FIELDS), jnp.float32)
     r, g, b = _fused_xla(
         jnp.asarray([[seed]], jnp.int32),
-        cam_arr,
-        pack_scene_jnp(scene),
-        tri_arr,
+        scene,
+        camera,
         width=width,
         height=height,
         spp=spp,

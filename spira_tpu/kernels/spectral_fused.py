@@ -442,35 +442,28 @@ N_SPH_SPEC = 9 + 2 * D
 N_TRI_SPEC = 17 + 2 * D
 
 
+#: The Chebyshev least-squares fit is a fixed linear map of the SPD table —
+#: precompute its pseudo-inverse once (host) and apply it as one einsum
+#: inside jit, fully differentiable.
+_CHEB_PINV = np.linalg.pinv(
+    np.polynomial.chebyshev.chebvander(
+        2.0 * (cl.SPD_GRID - cl.LAMBDA_MIN) / cl.LAMBDA_RANGE - 1.0, D - 1
+    ).astype(np.float64)
+).astype(np.float32)  # (D, K)
+
+
 def pack_scene_spectral_jnp(scene):
     """Traced spectral scene tables: spheres (S, 9+2D), triangles
-    (T, 17+2D).  Chebyshev coefficient tables are differentiable (the host
-    fit runs in `make_materials`/here once; overrides may supply coeffs
-    directly)."""
+    (T, 17+2D).  Call inside jit — eager calls dispatch per-op device
+    programs."""
     mats = scene.materials
-    alb_cheb = jnp.asarray(
-        cl.chebyshev_fit(np.asarray(jax.lax.stop_gradient(mats.albedo_spd)))
-    )
-    emi_cheb = jnp.asarray(
-        cl.chebyshev_fit(np.asarray(jax.lax.stop_gradient(mats.emission_spd)))
-    )
-    # Differentiable path: correct the host fit by the (linear) residual of
-    # the traced tables against their stopped-gradient copy so gradients
-    # flow into albedo_spd/emission_spd through the fit's linear map.
-    basis = np.polynomial.chebyshev.chebvander(
-        2.0 * (cl.SPD_GRID - cl.LAMBDA_MIN) / cl.LAMBDA_RANGE - 1.0, D - 1
-    ).astype(np.float32)  # (K, D)
-    pinv = jnp.asarray(np.linalg.pinv(basis))  # (D, K)
+    pinv = jnp.asarray(_CHEB_PINV)
 
     def lin_fit(table):
         return jnp.einsum("dk,mk->md", pinv, table)
 
-    alb_cheb = alb_cheb + lin_fit(
-        mats.albedo_spd - jax.lax.stop_gradient(mats.albedo_spd)
-    )
-    emi_cheb = emi_cheb + lin_fit(
-        mats.emission_spd - jax.lax.stop_gradient(mats.emission_spd)
-    )
+    alb_cheb = lin_fit(mats.albedo_spd)
+    emi_cheb = lin_fit(mats.emission_spd)
 
     ms = scene.spheres.material
     sph = jnp.concatenate(
@@ -516,9 +509,13 @@ def pack_scene_spectral_jnp(scene):
                      "n_tris", "inclusive_uv"),
 )
 def _fused_spectral_xla(
-    seed_arr, cam_arr, sph_arr, tri_arr, *, width, height, spp, max_depth,
+    seed_arr, scene, camera, *, width, height, spp, max_depth,
     n_spheres, n_tris, inclusive_uv,
 ):
+    from .megakernel import pack_camera_jnp
+
+    cam_arr = pack_camera_jnp(camera)
+    sph_arr, tri_arr = pack_scene_spectral_jnp(scene)
     h_pad = pl.cdiv(height, TILE_H) * TILE_H
     w_pad = pl.cdiv(width, TILE_W) * TILE_W
     row = jax.lax.broadcasted_iota(jnp.int32, (h_pad, w_pad), 0)
@@ -567,16 +564,10 @@ def render_flat_fused_spectral(
             f"fused spectral engine supports at most {FUSED_TRI_LIMIT} "
             f"triangles; large meshes use the wavefront spectral path"
         )
-    cam_arr = jnp.concatenate(
-        [camera.origin, camera.lower_left_corner, camera.horizontal,
-         camera.vertical, jnp.zeros(4, jnp.float32)]
-    )[None, :]
-    sph_arr, tri_arr = pack_scene_spectral_jnp(scene)
     rgb = _fused_spectral_xla(
         jnp.asarray([[seed]], jnp.int32),
-        cam_arr,
-        sph_arr,
-        tri_arr,
+        scene,
+        camera,
         width=width,
         height=height,
         spp=spp,

@@ -160,3 +160,71 @@ def test_geometry_gradients_flow_fused():
     g = np.asarray(jax.grad(loss)(scene.spheres.centers))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+def test_inverse_rendering_recovers_emission():
+    """BASELINE config 4 also names light emission: recover the light's
+    intensity from a target render."""
+    scene = st.create_scene()
+    cam = st.make_camera(
+        lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 3.0, 0.0), vfov=60.0,
+        aspect_ratio=2.0,
+    )  # light sphere in view
+    from spira_tpu.render import render_flat
+
+    target = render_flat(scene, cam, width=32, height=16, spp=8, max_depth=3,
+                         seed=7)
+    step, init = make_inverse_step(
+        width=32, height=16, spp=2, max_depth=3, learning_rate=0.15
+    )
+    true_emission = scene.materials.emission
+    params = {"emission": jnp.zeros_like(true_emission) + 0.5}
+    opt_state = init(params)
+    for it in range(200):
+        params, opt_state, loss = step(params, opt_state, scene, cam, target, it)
+    rec = float(params["emission"][4].mean())  # light material
+    assert abs(rec - 5.0) < 1.0, f"recovered emission {rec:.2f} (true 5.0)"
+
+
+def test_inverse_spectral_recovers_albedo_spd():
+    """Spectral inverse rendering: recover a perturbed albedo SPD through
+    the hero-wavelength estimator (config 4, spectral)."""
+    scene = st.create_scene()
+    # frame the red diffuse sphere so its material dominates the signal
+    cam = st.make_camera(
+        lookfrom=(0, 0.3, 1.5), lookat=(0, 0, 0), vfov=45, aspect_ratio=2.0
+    )
+    from spira_tpu.render import render_flat
+
+    target = render_flat(scene, cam, width=32, height=16, spp=8, max_depth=3,
+                         seed=3, spectral=True)
+    step, init = make_inverse_step(
+        width=32, height=16, spp=4, max_depth=3, learning_rate=0.04,
+        spectral=True,
+    )
+    true_spd = scene.materials.albedo_spd
+    spd0 = jnp.full_like(true_spd, 0.5)
+    params = {"albedo_spd": spd0}
+    opt_state = init(params)
+    for it in range(150):
+        params, opt_state, loss = step(params, opt_state, scene, cam, target, it)
+    # An RGB-image loss determines an SPD only up to metamers: assert the
+    # *colorimetric* recovery — the XYZ projection of the recovered sphere
+    # SPD converges to the truth (pointwise SPD identity would need
+    # spectral targets or smoothness priors).
+    import numpy as _np
+
+    from spira_tpu.core import colorimetry as cl
+
+    lam = jnp.asarray(_np.linspace(cl.LAMBDA_MIN, cl.LAMBDA_MAX, 256))
+
+    def spd_xyz(spd):
+        vals = jax.vmap(lambda t: cl.sample_spd(t, lam))(spd)  # (M, 256)
+        return cl.spectrum_to_xyz(vals, jnp.broadcast_to(lam, vals.shape))
+
+    xyz_true = _np.asarray(spd_xyz(true_spd))
+    xyz0 = _np.asarray(spd_xyz(spd0))
+    xyz1 = _np.asarray(spd_xyz(params["albedo_spd"]))
+    err0 = _np.abs(xyz0[0] - xyz_true[0]).mean()
+    err1 = _np.abs(xyz1[0] - xyz_true[0]).mean()
+    assert err1 < 0.5 * err0, f"XYZ error {err0:.3f} -> {err1:.3f}"
