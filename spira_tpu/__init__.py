@@ -11,7 +11,13 @@ render, create_scene, render_hybrid_gpu, render_with_cpu) in SoA/pytree form.
 
 from .accel.bvh import FlatBVH, build_bvh_for_triangles, build_two_level
 from .core import rng, vecmath
-from .render import render, render_flat, render_hdr
+from .render import (
+    render,
+    render_flat,
+    render_hdr,
+    render_hybrid_gpu,
+    render_with_cpu,
+)
 from .scene.obj import cube, icosphere, load_obj_mesh, parse_obj
 from .scene.camera import Camera, default_camera, generate_rays, make_camera
 from .scene.geometry import (
@@ -57,6 +63,8 @@ __all__ = [
     "make_spheres",
     "make_triangles",
     "render",
+    "render_hybrid_gpu",
+    "render_with_cpu",
     "render_flat",
     "render_hdr",
     "rng",

@@ -248,3 +248,19 @@ def render(
         else:
             img_io.save_png(output_path, out)
     return out
+
+
+def render_hybrid_gpu(scene, camera, width, height, **kw):
+    """Compatibility alias for the reference's accelerated entry point
+    (`render_hybrid_gpu`, /root/reference/src/spira-metal-optimized.jl:1228):
+    the engine-dispatched accelerated render (pallas/fused on TPU)."""
+    return render(scene, camera, width, height, **kw)
+
+
+def render_with_cpu(scene, camera, width, height, **kw):
+    """Compatibility alias for the reference CPU fallback renderer
+    (`render_with_cpu`, /root/reference/src/spira-metal-optimized.jl:1346):
+    the wavefront engine in bug-compatible reference semantics."""
+    kw.setdefault("semantics", "reference")
+    kw.setdefault("engine", "wavefront")
+    return render(scene, camera, width, height, **kw)

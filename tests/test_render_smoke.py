@@ -118,3 +118,19 @@ def test_depth_of_field_blur_and_dispatch():
     assert (sharp.mean(-1) > 4).mean() > 0.1
     assert (blur.mean(-1) > 4).mean() < 0.02
     assert blur.max() < 0.8 * sharp.max()
+
+
+def test_reference_api_aliases():
+    """The reference package exports render_hybrid_gpu / render_with_cpu
+    (/root/reference/src/SPIRA.jl:10-13); the aliases must render."""
+    scene = st.create_scene()
+    cam = st.default_camera(2.0)
+    a = st.render_hybrid_gpu(scene, cam, 32, 16, samples_per_pixel=2,
+                             max_depth=2)
+    b = st.render_with_cpu(scene, cam, 32, 16, samples_per_pixel=2,
+                           max_depth=2)
+    assert a.shape == b.shape == (16, 32, 3)
+    # reference semantics is darker on diffuse surfaces
+    assert float(np.asarray(b, np.float32).mean()) <= float(
+        np.asarray(a, np.float32).mean()
+    )
