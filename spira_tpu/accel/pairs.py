@@ -1,0 +1,230 @@
+"""Pair-record BVH packing for the Pallas packet-traversal megakernel.
+
+The round-1 cost model (docs/ARCHITECTURE.md) showed per-lane dynamic gathers
+are the TPU's weak spot: XLA emulates them ~100x slower inside loop bodies,
+and a vector machine has no per-lane scatter for traversal stacks.  The
+packet kernel (`spira_tpu/kernels/bvh_megakernel.py`) therefore shares ONE
+traversal among all 1024 rays of an (8, 128) tile: scalar control flow +
+an SMEM stack drive the tree walk, while every box/triangle test is a
+full-tile VPU op.  That flips the reference's thread-per-ray stack traversal
+(`hit_bvh`, /root/reference/examples/julia-raytracer-optimized.jl:1710-1775)
+into classic packet tracing (Wald et al. 2001) — the shape that fits a
+128-lane vector unit.
+
+Memory layout is chosen so the kernel's ONLY dynamic access is a
+row load at a dynamic *sublane* index (the supported-fast Mosaic case):
+
+* ``pairs`` (P, 16) float32 — one row per *internal* FlatBVH node, holding
+  BOTH children: ``[min3 | max3 | ptr | count] x 2``.  A child entry is
+  self-describing: ``count == 0`` -> internal, ``ptr`` = pair row of that
+  child; ``count > 0`` -> leaf, ``ptr`` = row into ``tri_rows``;
+  ``count < 0`` -> empty slot (box is inverted so the slab test never hits).
+  ptr/count are stored as exact small floats (no bitcasting needed
+  in-kernel).
+* ``tri_rows`` (R, 128) float32 — 8 triangles per row, 16 lanes each:
+  ``[v0(3) e1(3) e2(3) n(3) mat(1) pad(3)]``.  Every leaf owns whole rows,
+  so leaf intersection is one (1, 128) vector load + static lane extracts.
+
+The packing is host-side NumPy, one-time per scene (like the flat-BVH
+serialization of the reference, `serialize_scene_for_gpu`
+/root/reference/examples/julia-raytracer-optimized.jl:1242-1324).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..core.types import pytree_dataclass
+
+TRIS_PER_ROW = 8
+TRI_STRIDE = 16  # lanes per triangle within a packed row
+PAIR_WIDTH = 16
+
+# Child-entry field offsets within a pair record half.
+_MIN = 0
+_MAX = 3
+_PTR = 6
+_CNT = 7
+
+
+@pytree_dataclass(meta_fields=("root", "n_rows", "n_pairs", "max_leaf"))
+class PackedBVH:
+    """Device-resident pair-record BVH (replicated per chip)."""
+
+    pairs: jnp.ndarray  # (P, 16) float32
+    tri_rows: jnp.ndarray  # (R, 128) float32
+    root: int = 0  # pair row of the root record (static)
+    n_rows: int = 0
+    n_pairs: int = 0
+    max_leaf: int = TRIS_PER_ROW
+
+
+def _leaf_rows_needed(count: int) -> int:
+    return (count + TRIS_PER_ROW - 1) // TRIS_PER_ROW
+
+
+def pack_bvh(bvh, tris, materials=None) -> PackedBVH:
+    """Convert a FlatBVH + Triangles into pair records + packed tri rows.
+
+    Leaves larger than ``TRIS_PER_ROW`` span multiple consecutive rows (the
+    kernel unrolls ``ceil(max_leaf / 8)`` row loads).
+    """
+    node_min = np.asarray(bvh.node_min, np.float32)
+    node_max = np.asarray(bvh.node_max, np.float32)
+    left = np.asarray(bvh.left, np.int64)
+    right = np.asarray(bvh.right, np.int64)
+    is_leaf = np.asarray(bvh.is_leaf, np.int64)
+    prim_idx = np.asarray(bvh.prim_idx, np.int64)
+
+    v0 = np.asarray(tris.v0, np.float32)
+    e1 = np.asarray(tris.e1, np.float32)
+    e2 = np.asarray(tris.e2, np.float32)
+    nrm = np.asarray(tris.normal, np.float32)
+    mat = np.asarray(tris.material, np.float32)
+
+    m = node_min.shape[0]
+    internal = np.nonzero(is_leaf == 0)[0]
+    # pair row index for every internal node (leaves have no pair row)
+    pair_of = np.full(m, -1, np.int64)
+    pair_of[internal] = np.arange(internal.shape[0])
+
+    n_pairs = internal.shape[0]
+    root_is_leaf = bool(is_leaf[0] == 1)
+    total_pairs = max(n_pairs + (1 if root_is_leaf else 0), 1)
+    pairs = np.zeros((total_pairs, PAIR_WIDTH), np.float32)
+
+    # --- pack leaf triangle rows (one pass to size, one to fill)
+    leaves = np.nonzero(is_leaf == 1)[0]
+    total_rows = int(sum(_leaf_rows_needed(int(right[i])) for i in leaves))
+    total_rows = max(total_rows, 1)
+    tri_rows = np.zeros((total_rows, TRIS_PER_ROW * TRI_STRIDE), np.float32)
+    leaf_row = {}
+    row = 0
+    for i in leaves:
+        first, count = int(left[i]), int(right[i])
+        leaf_row[int(i)] = row
+        prims = prim_idx[first : first + count]
+        tri16 = np.zeros((count, TRI_STRIDE), np.float32)
+        tri16[:, 0:3] = v0[prims]
+        tri16[:, 3:6] = e1[prims]
+        tri16[:, 6:9] = e2[prims]
+        tri16[:, 9:12] = nrm[prims]
+        tri16[:, 12] = mat[prims]
+        need = _leaf_rows_needed(count)
+        flat = np.zeros((need, TRIS_PER_ROW * TRI_STRIDE), np.float32)
+        flat.reshape(need * TRIS_PER_ROW, TRI_STRIDE)[:count] = tri16
+        tri_rows[row : row + need] = flat
+        row += need
+
+    # --- child entry helper
+    def entry(c: int):
+        """(min3, max3, ptr, count) for child node c."""
+        if is_leaf[c] == 1:
+            return node_min[c], node_max[c], leaf_row[int(c)], int(right[c])
+        return node_min[c], node_max[c], int(pair_of[c]), 0
+
+    # Empty child slot: cnt == -1 gates it out in the kernel and the oracle;
+    # the box is a harmless point at the origin (inf/NaN-free arithmetic).
+    empty = (np.zeros(3, np.float32), np.zeros(3, np.float32), 0, -1)
+
+    def fill(rec, half, ent):
+        lo3, hi3, ptr, cnt = ent
+        base = 8 * half
+        rec[base + _MIN : base + _MIN + 3] = lo3
+        rec[base + _MAX : base + _MAX + 3] = hi3
+        rec[base + _PTR] = float(ptr)
+        rec[base + _CNT] = float(cnt)
+
+    max_leaf = 1
+    for i in internal:
+        rec = pairs[pair_of[i]]
+        l, r = int(left[i]), int(right[i])
+        if l == r:  # two-level redirect node: single child
+            fill(rec, 0, entry(l))
+            fill(rec, 1, empty)
+        else:
+            fill(rec, 0, entry(l))
+            fill(rec, 1, entry(r))
+    if leaves.size:
+        max_leaf = int(right[leaves].max())
+
+    if root_is_leaf:
+        # degenerate tree: wrap the single leaf in a pseudo pair record
+        root = n_pairs
+        fill(pairs[root], 0, entry(0))
+        fill(pairs[root], 1, empty)
+    else:
+        root = int(pair_of[0])
+
+    # pad sublane dims to multiples of 8
+    def pad8(a):
+        p = (-a.shape[0]) % 8
+        if p:
+            a = np.concatenate([a, np.zeros((p,) + a.shape[1:], a.dtype)])
+        return a
+
+    return PackedBVH(
+        pairs=jnp.asarray(pad8(pairs)),
+        tri_rows=jnp.asarray(pad8(tri_rows)),
+        root=root,
+        n_rows=total_rows,
+        n_pairs=total_pairs,
+        max_leaf=max_leaf,
+    )
+
+
+def attach_packed(scene):
+    """Pack ``scene.bvh`` + triangles into pair tables and return a scene
+    whose ``packed`` field feeds the Pallas packet megakernel."""
+    from ..core.types import replace
+
+    if scene.bvh is None:
+        raise ValueError("attach_packed requires a scene with a built BVH")
+    return replace(scene, packed=pack_bvh(scene.bvh, scene.triangles))
+
+
+def traverse_packed_numpy(packed: PackedBVH, origin, direction, t_min=1e-3):
+    """Scalar NumPy oracle over the packed tables (tests only): nearest hit
+    (t, normal, mat) for one ray, or (inf, 0, -1)."""
+    pairs = np.asarray(packed.pairs)
+    rows = np.asarray(packed.tri_rows)
+    o = np.asarray(origin, np.float64)
+    d = np.asarray(direction, np.float64)
+    inv = np.where(np.abs(d) > 1e-12, 1.0 / d, 1e12)
+
+    best = (np.inf, np.zeros(3), -1)
+    stack = [packed.root]
+    while stack:
+        p = stack.pop()
+        rec = pairs[p]
+        for half in (0, 1):
+            b = 8 * half
+            lo, hi = rec[b : b + 3], rec[b + 3 : b + 6]
+            ptr, cnt = int(rec[b + 6]), int(rec[b + 7])
+            t0 = (lo - o) * inv
+            t1 = (hi - o) * inv
+            tn = np.maximum(np.minimum(t0, t1).max(), 0.0)
+            tf = np.minimum(np.maximum(t0, t1).min(), best[0])
+            if tn > tf or cnt < 0:
+                continue
+            if cnt == 0:
+                stack.append(ptr)
+                continue
+            for j in range(cnt):
+                r, lane = ptr + j // TRIS_PER_ROW, TRI_STRIDE * (j % TRIS_PER_ROW)
+                f = rows[r, lane : lane + TRI_STRIDE]
+                v0, e1, e2 = f[0:3], f[3:6], f[6:9]
+                pv = np.cross(d, e2)
+                det = e1 @ pv
+                if abs(det) < 1e-9:
+                    continue
+                tv = o - v0
+                u = (tv @ pv) / det
+                qv = np.cross(tv, e1)
+                v = (d @ qv) / det
+                t = (e2 @ qv) / det
+                if u >= 0 and v >= 0 and u + v <= 1 and t_min < t < best[0]:
+                    best = (t, f[9:12].copy(), int(f[12]))
+    return best

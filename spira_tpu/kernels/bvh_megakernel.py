@@ -1,0 +1,479 @@
+"""Packet-traversal BVH path-trace megakernel (Pallas TPU).
+
+The TPU answer to the reference's in-kernel BVH megakernel
+(`trace_ray_gpu` + `hit_bvh` stack traversal,
+`/root/reference/examples/julia-raytracer-optimized.jl:1710-1830`): where a
+Metal thread owns one ray and walks the tree with a private `uint stack[64]`,
+a TPU program owns an (8, 128) *tile* of rays that walk the tree TOGETHER —
+classic packet tracing (Wald et al. 2001) reshaped for a 128-lane vector
+machine:
+
+* ONE scalar traversal stack in SMEM drives the walk for all 1024 rays;
+* every box test / triangle test is a full-tile VPU op against *broadcast*
+  scalars — there are **zero per-lane gathers** (the op the round-1 cost
+  model measured at ~100x slow inside XLA loop bodies);
+* a node is descended iff ANY lane's slab test passes (`jnp.any` cross-lane
+  reduce), with per-lane `best_t` shrinking the interval so finished lanes
+  stop pulling the packet down the tree;
+* node pairs and leaf triangles live VMEM-resident for the whole render
+  (`accel/pairs.py` packs them so the only dynamic access is a row load at
+  a dynamic sublane index — the supported-fast Mosaic case).
+
+Everything else — ray generation, the spp x bounce loop, BSDF scatter,
+Russian roulette, sky/emission accumulation — is the exact
+:func:`spira_tpu.kernels.megakernel.trace_tile` code, entered through its
+``intersect_fn`` hook; spheres are still statically unrolled (scenes carry
+few), so mixed sphere+mesh scenes run fused end-to-end in one dispatch.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..accel.pairs import TRI_STRIDE, TRIS_PER_ROW
+from . import megakernel as mk
+
+TILE_H = mk.TILE_H
+TILE_W = mk.TILE_W
+INF = mk.INF
+T_MIN = mk.T_MIN
+STACK_SIZE = 96  # node-tree depth is builder-capped at 62; margin + discard
+_DISCARD = STACK_SIZE - 1  # masked pushes land here and are never read
+N_MAT_FIELDS = 10  # ar ag ab er eg eb metallic roughness ior transmission
+
+
+def make_packet_intersect(
+    pairs_ref,
+    tris_ref,
+    stack_ref,
+    bt_ref,
+    tnx_ref,
+    tny_ref,
+    tnz_ref,
+    mid_ref,
+    spheres,
+    mats,
+    *,
+    root: int,
+    rows_per_leaf: int,
+    max_leaf: int,
+):
+    """Build the ``intersect_fn`` plugged into ``trace_tile``.
+
+    ``spheres``: list of 14-scalar tuples (static unroll, as in the sphere
+    megakernel); ``mats``: list of 10-scalar material tuples indexed by the
+    per-triangle material id selected during traversal.
+    """
+
+    def intersect(o3, d3, active):
+        ox, oy, oz = o3
+        dx, dy, dz = d3
+        inv_dx = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, jnp.float32(1e12))
+        inv_dy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, jnp.float32(1e12))
+        inv_dz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, jnp.float32(1e12))
+
+        bt_ref[:] = jnp.full_like(dx, INF)
+        tnx_ref[:] = jnp.zeros_like(dx)
+        tny_ref[:] = jnp.zeros_like(dx)
+        tnz_ref[:] = jnp.zeros_like(dx)
+        mid_ref[:] = jnp.full_like(dx, -1.0)
+        stack_ref[0] = np.int32(root)
+        # a packet with no live lanes skips traversal entirely
+        sp0 = jnp.where(jnp.any(active), 1, 0).astype(jnp.int32)
+
+        def cond(sp):
+            return sp > 0
+
+        def body(sp):
+            sp = sp - 1
+            p = stack_ref[sp]
+            rec = pairs_ref[pl.ds(p, 1), :]  # (1, 16) both children
+            # half 1 is pushed first so half 0 (the builder's left/near
+            # child) pops first — the MSL traversal's push-right-then-left
+            # order (/root/reference/examples/julia-raytracer-optimized.jl:1756-1760).
+            for half in (1, 0):
+                base = 8 * half
+                lox = rec[0, base + 0]
+                loy = rec[0, base + 1]
+                loz = rec[0, base + 2]
+                hix = rec[0, base + 3]
+                hiy = rec[0, base + 4]
+                hiz = rec[0, base + 5]
+                ptr_i = rec[0, base + 6].astype(jnp.int32)
+                cnt_f = rec[0, base + 7]
+
+                # branchless slab test over the whole tile
+                t0 = (lox - ox) * inv_dx
+                t1 = (hix - ox) * inv_dx
+                tn = jnp.minimum(t0, t1)
+                tf = jnp.maximum(t0, t1)
+                t0 = (loy - oy) * inv_dy
+                t1 = (hiy - oy) * inv_dy
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                t0 = (loz - oz) * inv_dz
+                t1 = (hiz - oz) * inv_dz
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                tn = jnp.maximum(tn, 0.0)
+                tf = jnp.minimum(tf, bt_ref[:])
+                hitm = (tn <= tf) & active
+                anyhit = jnp.any(hitm)
+
+                @pl.when(anyhit & (cnt_f > 0.5))
+                def _leaf():
+                    cnt_i = cnt_f.astype(jnp.int32)
+                    best = bt_ref[:]
+                    nx_l = tnx_ref[:]
+                    ny_l = tny_ref[:]
+                    nz_l = tnz_ref[:]
+                    mid_l = mid_ref[:]
+                    for rr in range(rows_per_leaf):
+                        rowv = tris_ref[pl.ds(ptr_i + rr, 1), :]  # (1, 128)
+                        for j in range(TRIS_PER_ROW):
+                            jj = rr * TRIS_PER_ROW + j
+                            if jj >= max_leaf:
+                                break
+                            lane = TRI_STRIDE * j
+                            v0x = rowv[0, lane + 0]
+                            v0y = rowv[0, lane + 1]
+                            v0z = rowv[0, lane + 2]
+                            e1x = rowv[0, lane + 3]
+                            e1y = rowv[0, lane + 4]
+                            e1z = rowv[0, lane + 5]
+                            e2x = rowv[0, lane + 6]
+                            e2y = rowv[0, lane + 7]
+                            e2z = rowv[0, lane + 8]
+                            nxc = rowv[0, lane + 9]
+                            nyc = rowv[0, lane + 10]
+                            nzc = rowv[0, lane + 11]
+                            matf = rowv[0, lane + 12]
+                            # Möller–Trumbore, identical formulas to
+                            # megakernel.tri_unroll (broadcast scalars)
+                            pvx = dy * e2z - dz * e2y
+                            pvy = dz * e2x - dx * e2z
+                            pvz = dx * e2y - dy * e2x
+                            det = e1x * pvx + e1y * pvy + e1z * pvz
+                            det_ok = jnp.abs(det) > 1e-12
+                            inv_det = jnp.where(
+                                det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
+                            )
+                            tvx = ox - v0x
+                            tvy = oy - v0y
+                            tvz = oz - v0z
+                            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                            qvx = tvy * e1z - tvz * e1y
+                            qvy = tvz * e1x - tvx * e1z
+                            qvz = tvx * e1y - tvy * e1x
+                            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                            hit_k = (
+                                (jnp.abs(det) > 1e-9)
+                                & (uu >= 0.0)
+                                & (vv >= 0.0)
+                                & (uu + vv <= 1.0)
+                                & (tt > T_MIN)
+                                & (tt < best)
+                                & hitm
+                                & (jj < cnt_i)
+                            )
+                            best = jnp.where(hit_k, tt, best)
+                            nx_l = jnp.where(hit_k, nxc, nx_l)
+                            ny_l = jnp.where(hit_k, nyc, ny_l)
+                            nz_l = jnp.where(hit_k, nzc, nz_l)
+                            mid_l = jnp.where(hit_k, matf, mid_l)
+                    bt_ref[:] = best
+                    tnx_ref[:] = nx_l
+                    tny_ref[:] = ny_l
+                    tnz_ref[:] = nz_l
+                    mid_ref[:] = mid_l
+
+                do_push = anyhit & (cnt_f == 0.0)
+                stack_ref[jnp.where(do_push, sp, _DISCARD)] = ptr_i
+                sp = sp + do_push.astype(jnp.int32)
+            return sp
+
+        jax.lax.while_loop(cond, body, sp0)
+
+        # ---- resolve into the shared hit-state shape, then spheres + finish
+        st = mk.init_hit_state(dx)
+        t_tri = bt_ref[:]
+        tri_hit = t_tri < INF
+        st["best_t"] = t_tri
+        st["hit_is_tri"] = tri_hit
+        st["tnx"] = tnx_ref[:]
+        st["tny"] = tny_ref[:]
+        st["tnz"] = tnz_ref[:]
+        mid = mid_ref[:]
+        for m, fields in enumerate(mats):
+            mk._select_mats(st, tri_hit & (mid == np.float32(m)), fields)
+        st = mk.sphere_unroll(spheres, o3, d3, st)
+        return mk.finish_intersect(o3, d3, st)
+
+    return intersect
+
+
+def _kernel(
+    seed_ref, cam_ref, mat_ref, sph_ref, pairs_ref, tris_ref,
+    out_r, out_g, out_b,
+    stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
+    *, spp, max_depth, width, height, n_spheres, n_mats, root,
+    rows_per_leaf, max_leaf, inclusive_uv,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row = i * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    col = j * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    cam = tuple(cam_ref[0, k] for k in range(12))
+    spheres = [
+        tuple(sph_ref[k, f] for f in range(14)) for k in range(n_spheres)
+    ]
+    mats = [
+        tuple(mat_ref[m, f] for f in range(N_MAT_FIELDS))
+        for m in range(n_mats)
+    ]
+    intersect = make_packet_intersect(
+        pairs_ref, tris_ref, stack_ref,
+        bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
+        spheres, mats,
+        root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
+    )
+    r, g, b = mk.trace_tile(
+        (row * width + col).astype(jnp.uint32),
+        row.astype(jnp.float32),
+        col.astype(jnp.float32),
+        cam,
+        spheres,
+        (),
+        seed=seed_ref[0, 0],
+        spp=spp,
+        max_depth=max_depth,
+        du=np.float32(width - 1 if inclusive_uv else width),
+        dv=np.float32(height - 1 if inclusive_uv else height),
+        remat=False,
+        intersect_fn=intersect,
+    )
+    inv = np.float32(1.0 / spp)
+    out_r[:] = r * inv
+    out_g[:] = g * inv
+    out_b[:] = b * inv
+
+
+def _intersect_only_kernel(
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pairs_ref, tris_ref,
+    out_t, out_nx, out_ny, out_nz, out_mid,
+    stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
+    *, root, rows_per_leaf, max_leaf,
+):
+    intersect = make_packet_intersect(
+        pairs_ref, tris_ref, stack_ref,
+        bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
+        spheres=[], mats=[],
+        root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
+    )
+    o3 = (ox_ref[:], oy_ref[:], oz_ref[:])
+    d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
+    intersect(o3, d3, jnp.ones_like(ox_ref[:], dtype=jnp.bool_))
+    # raw traversal results (pre-sphere) live in the scratch refs
+    out_t[:] = bt_ref[:]
+    out_nx[:] = tnx_ref[:]
+    out_ny[:] = tny_ref[:]
+    out_nz[:] = tnz_ref[:]
+    out_mid[:] = mid_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _intersect_tile_launch(packed, origins, dirs, interpret):
+    n_rows = origins.shape[0] // TILE_W
+    comps = [
+        origins[:, 0], origins[:, 1], origins[:, 2],
+        dirs[:, 0], dirs[:, 1], dirs[:, 2],
+    ]
+    comps = [c.reshape(n_rows, TILE_W) for c in comps]
+    grid = (pl.cdiv(n_rows, TILE_H),)
+    kernel = functools.partial(
+        _intersect_only_kernel,
+        root=packed.root,
+        rows_per_leaf=-(-packed.max_leaf // TRIS_PER_ROW),
+        max_leaf=packed.max_leaf,
+    )
+    block = pl.BlockSpec(
+        (TILE_H, TILE_W), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((n_rows, TILE_W), jnp.float32)
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        out_shape=(out_shape,) * 5,
+        in_specs=[block] * 6
+        + [
+            pl.BlockSpec(
+                packed.pairs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                packed.tri_rows.shape, lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(block,) * 5,
+        scratch_shapes=[
+            pltpu.SMEM((STACK_SIZE,), jnp.int32),
+        ] + [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)] * 5,
+        interpret=interpret,
+    )(*comps, packed.pairs, packed.tri_rows)
+    return [o.reshape(-1) for o in outs]
+
+
+def intersect_tile(packed, origins, dirs, *, interpret=False):
+    """Nearest-hit query through the packet kernel (testing/debug API).
+
+    origins/dirs: (N, 3) with N a multiple of 1024.  Returns
+    (t, normal (N,3), mat_id) with t = INF (1e20) on miss — the direct
+    analogue of `accel.traverse.intersect_bvh_stack` for differential
+    testing.
+    """
+    t, nx, ny, nz, mid = _intersect_tile_launch(
+        packed, jnp.asarray(origins), jnp.asarray(dirs), interpret
+    )
+    return t, jnp.stack([nx, ny, nz], axis=-1), mid.astype(jnp.int32)
+
+
+def pack_materials_jnp(materials):
+    """Traced (M, 16) material table (albedo, emission, metallic, roughness,
+    ior, transmission + padding) — differentiable in every field."""
+    m = materials.count
+    return jnp.concatenate(
+        [
+            materials.albedo,
+            materials.emission,
+            materials.metallic[:, None],
+            materials.roughness[:, None],
+            materials.ior[:, None],
+            materials.transmission[:, None],
+            jnp.zeros((m, 6), jnp.float32),
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_depth", "n_spheres", "n_mats",
+        "inclusive_uv", "interpret",
+    ),
+)
+def _launch(
+    seed_arr, scene, camera, *, width, height, spp, max_depth,
+    n_spheres, n_mats, inclusive_uv, interpret,
+):
+    packed = scene.packed
+    # meta fields of the PackedBVH pytree are concrete (part of the jit key)
+    root = packed.root
+    max_leaf = packed.max_leaf
+    rows_per_leaf = -(-max_leaf // TRIS_PER_ROW)
+
+    cam_arr = mk.pack_camera_jnp(camera)
+    sph_arr = (
+        mk.pack_scene_jnp(scene)
+        if n_spheres > 0
+        else jnp.zeros((1, 16), jnp.float32)
+    )
+    mat_arr = pack_materials_jnp(scene.materials)
+    pairs = packed.pairs
+    tri_rows = packed.tri_rows
+
+    grid_h = pl.cdiv(height, TILE_H)
+    grid_w = pl.cdiv(width, TILE_W)
+    h_pad = grid_h * TILE_H
+    w_pad = grid_w * TILE_W
+
+    kernel = functools.partial(
+        _kernel,
+        spp=spp, max_depth=max_depth, width=width, height=height,
+        n_spheres=n_spheres, n_mats=n_mats, root=root,
+        rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
+        inclusive_uv=inclusive_uv,
+    )
+    out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
+    block = pl.BlockSpec(
+        (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    # physical VMEM: lane dims pad to 128 — (P,16) costs P*128 floats
+    table_bytes = (pairs.shape[0] + tri_rows.shape[0]) * 128 * 4
+    params = pltpu.CompilerParams(
+        vmem_limit_bytes=int(table_bytes + (6 << 20)),
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(grid_h, grid_w),
+        out_shape=(out_shape, out_shape, out_shape),
+        in_specs=[
+            smem,  # seed
+            smem,  # camera
+            smem,  # materials
+            smem,  # spheres
+            pl.BlockSpec(
+                pairs.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                tri_rows.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(block, block, block),
+        scratch_shapes=[
+            pltpu.SMEM((STACK_SIZE,), jnp.int32),
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # best_t
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # tnx
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # tny
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # tnz
+            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # mat id
+        ],
+        compiler_params=params,
+        interpret=interpret,
+    )(seed_arr, cam_arr, mat_arr, sph_arr, pairs, tri_rows)
+
+
+def render_flat_bvh_megakernel(
+    scene,
+    camera,
+    *,
+    width: int,
+    height: int,
+    spp: int = 16,
+    max_depth: int = 4,
+    seed: int = 0,
+    inclusive_uv: bool = True,
+    interpret: bool = False,
+):
+    """Pallas packet-BVH render → flat (H*W, 3) bottom-up HDR buffer.
+
+    Requires ``scene.packed`` (see :func:`spira_tpu.accel.pairs.pack_bvh` /
+    ``attach_packed``).  Same estimator family and PCG RNG stream as the
+    sphere megakernel — a mesh-free scene renders bit-identically on either.
+    """
+    if scene.packed is None:
+        raise ValueError(
+            "scene has no packed BVH; call spira_tpu.accel.pairs.attach_packed"
+        )
+    r, g, b = _launch(
+        jnp.asarray([[seed]], jnp.int32),
+        scene,
+        camera,
+        width=width,
+        height=height,
+        spp=spp,
+        max_depth=max_depth,
+        n_spheres=scene.spheres.count,
+        n_mats=scene.materials.count,
+        inclusive_uv=inclusive_uv,
+        interpret=interpret,
+    )
+    return mk._crop_flat(r, g, b, width, height)

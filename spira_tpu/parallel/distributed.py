@@ -40,7 +40,11 @@ def initialize(
     cluster env vars); silently a no-op when the runtime is already up or
     the run is single-process.
     """
-    if jax.process_count() > 1:
+    # must not touch the backend before jax.distributed.initialize —
+    # jax.process_count() would initialise XLA and poison the init.
+    from jax._src import distributed as _dist_state
+
+    if _dist_state.global_state.client is not None:
         return  # already initialized
     try:
         jax.distributed.initialize(

@@ -82,6 +82,74 @@ def _make_sharded_renderer(
     )
 
 
+@lru_cache(maxsize=64)
+def _make_sharded_chunk(
+    width, height, mesh, n_samples, max_depth, seed, semantics, inclusive_uv,
+    spectral, engine,
+):
+    """Like `_make_sharded_renderer` but renders ``n_samples`` starting at a
+    *traced* global sample offset and returns the radiance **sum** (no mean)
+    — the shard body of the progressive/checkpointed multi-chip driver
+    (BASELINE config 5: 1920x1080 spp=256 cannot dispatch in one program)."""
+    n_tile = mesh.shape["tile"]
+    n_spp_axis = mesh.shape.get("spp", 1)
+    if height % n_tile != 0:
+        raise ValueError(f"height {height} not divisible by tile axis {n_tile}")
+    if n_samples % n_spp_axis != 0:
+        raise ValueError(
+            f"chunk {n_samples} not divisible by spp axis {n_spp_axis}"
+        )
+    rows_per = height // n_tile
+    spp_per = n_samples // n_spp_axis
+
+    def shard_body(scene, camera, sample_offset):
+        t = jax.lax.axis_index("tile")
+        s = jax.lax.axis_index("spp")
+        offset = sample_offset + s * spp_per
+        if engine == "fused":
+            from ..kernels.megakernel import fused_rows
+
+            acc = fused_rows(
+                scene, camera, width=width, n_rows=rows_per,
+                row_start=t * rows_per, sample_offset=offset, spp=spp_per,
+                max_depth=max_depth, seed=seed,
+                du=float(width - 1 if inclusive_uv else width),
+                dv=float(height - 1 if inclusive_uv else height),
+            )
+        else:
+            acc = accumulate_rows(
+                scene, camera, srng.base_key(seed), width=width,
+                height=height, row_start=t * rows_per, n_rows=rows_per,
+                sample_offset=offset, n_samples=spp_per, max_depth=max_depth,
+                semantics=semantics, inclusive_uv=inclusive_uv,
+                spectral=spectral,
+            )
+        return jax.lax.psum(acc, "spp")
+
+    return jax.jit(
+        shard_map(
+            shard_body, mesh=mesh, in_specs=(P(), P(), P()),
+            out_specs=P("tile"),
+        )
+    )
+
+
+def render_chunk_sharded(
+    scene, camera, sample_offset, *, width, height, mesh, n_samples,
+    max_depth=4, seed=0, semantics="physical", inclusive_uv=True,
+    spectral=False, engine="wavefront",
+):
+    """Radiance **sum** of global samples [offset, offset+n_samples) as a
+    tile-sharded flat (H*W, 3) buffer.  Because randomness is keyed on
+    absolute sample indices, summing chunks reproduces the one-shot render
+    regardless of chunking or mesh shape."""
+    fn = _make_sharded_chunk(
+        width, height, mesh, n_samples, max_depth, seed, semantics,
+        inclusive_uv, spectral, engine,
+    )
+    return fn(scene, camera, jnp.int32(sample_offset))
+
+
 def render_flat_sharded(
     scene,
     camera,

@@ -142,9 +142,11 @@ def select_engine(
 ):
     """Resolve the execution engine.
 
-    * ``pallas``   — fused Pallas megakernel (TPU; small scenes, physical)
-    * ``fused``    — same fused tracer as one XLA computation (any backend)
-    * ``wavefront``— the general masked-scan estimator (triangles/BVH,
+    * ``pallas``     — fused Pallas megakernel (TPU; small scenes, physical)
+    * ``pallas_bvh`` — packet-traversal BVH megakernel (TPU; mesh scenes
+      with packed pair tables, physical)
+    * ``fused``      — same fused tracer as one XLA computation (any backend)
+    * ``wavefront``  — the general masked-scan estimator (triangles/BVH,
       spectral transport, reference semantics, thin-lens cameras, gradients
       with overrides)
     """
@@ -152,13 +154,26 @@ def select_engine(
         return engine
     from .kernels.megakernel import FUSED_TRI_LIMIT
 
+    has_lens = camera is not None and getattr(camera, "has_lens", False)
+    if (
+        scene.packed is not None
+        and semantics == "physical"
+        and not spectral
+        and not has_lens
+        and jax.default_backend() == "tpu"
+    ):
+        return "pallas_bvh"
     fusable = (
         scene.bvh is None
         and scene.triangles.count <= FUSED_TRI_LIMIT
         and (scene.spheres.count + scene.triangles.count) > 0
     )
-    if camera is not None and float(camera.lens_radius) > 0.0:
-        fusable = False  # fused raygen is pinhole-only (no lens sampling)
+    if camera is not None and getattr(camera, "has_lens", False):
+        # fused raygen is pinhole-only (no lens sampling).  `has_lens` is a
+        # static construction-time flag: reading the traced `lens_radius`
+        # here was a blocking device sync per dispatch (~50 ms through the
+        # axon tunnel; the regression class of commit 0fff45e).
+        fusable = False
     if fusable and semantics == "physical" and not spectral:
         return "pallas" if jax.default_backend() == "tpu" else "fused"
     return "wavefront"
@@ -172,6 +187,13 @@ def render_flat_engine(
     engines use the PCG4D RNG stream, the wavefront engine threefry — images
     agree statistically, not bitwise)."""
     engine = select_engine(scene, semantics, spectral, engine, camera=camera)
+    if engine == "pallas_bvh":
+        from .kernels.bvh_megakernel import render_flat_bvh_megakernel
+
+        return render_flat_bvh_megakernel(
+            scene, camera, width=width, height=height, spp=spp,
+            max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
+        )
     if engine in ("pallas", "fused"):
         if spectral:
             # fused spectral engine (Chebyshev SPDs); no Pallas variant yet

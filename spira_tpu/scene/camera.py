@@ -15,13 +15,14 @@ reference: v runs bottom-up; images are flipped at assembly
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core import rng as srng
 from ..core import vecmath as vm
 from ..core.types import pytree_dataclass
 
 
-@pytree_dataclass
+@pytree_dataclass(meta_fields=("has_lens",))
 class Camera:
     origin: jnp.ndarray  # (3,)
     lower_left_corner: jnp.ndarray  # (3,)
@@ -30,6 +31,10 @@ class Camera:
     u: jnp.ndarray  # (3,) right axis (for lens sampling)
     v: jnp.ndarray  # (3,) up axis
     lens_radius: jnp.ndarray  # () aperture/2; 0 = pinhole
+    # Static dispatch flag: engine selection must not read the traced
+    # lens_radius (a host<->device sync per render call — ~50 ms through the
+    # axon tunnel).  Set once at construction from the concrete aperture.
+    has_lens: bool = False
 
 
 def make_camera(
@@ -71,6 +76,7 @@ def make_camera(
         u=u,
         v=v,
         lens_radius=jnp.asarray(aperture, f32) / 2.0,
+        has_lens=bool(np.asarray(aperture) > 0.0),
     )
 
 

@@ -87,11 +87,9 @@ def load_obj_mesh(path: str, material: int = 0, **transform_kw) -> Triangles:
     return make_triangles(verts, faces, material)
 
 
-def icosphere(
-    center=(0.0, 0.0, 0.0), radius=1.0, subdivisions=2, material: int = 0
-) -> Triangles:
-    """Subdivided icosahedron
-    (`/root/reference/examples/spira-metal-raytracer.jl:258-309`)."""
+def icosphere_mesh(subdivisions=2):
+    """Unit icosphere as raw arrays: (verts (V,3) f64 on the unit sphere,
+    faces (T,3) int64).  20 * 4^subdivisions triangles."""
     t = (1.0 + np.sqrt(5.0)) / 2.0
     verts = np.asarray(
         [
@@ -130,10 +128,17 @@ def icosphere(
             ]
         faces = new_faces
 
-    v = np.asarray(verts, np.float64) * radius + np.asarray(center, np.float64)
-    return make_triangles(
-        v.astype(np.float32), np.asarray(faces, np.int64), material
-    )
+    return np.asarray(verts, np.float64), np.asarray(faces, np.int64)
+
+
+def icosphere(
+    center=(0.0, 0.0, 0.0), radius=1.0, subdivisions=2, material: int = 0
+) -> Triangles:
+    """Subdivided icosahedron
+    (`/root/reference/examples/spira-metal-raytracer.jl:258-309`)."""
+    verts, faces = icosphere_mesh(subdivisions)
+    v = verts * radius + np.asarray(center, np.float64)
+    return make_triangles(v.astype(np.float32), faces, material)
 
 
 def cube(center=(0.0, 0.0, 0.0), size=1.0, material: int = 0) -> Triangles:

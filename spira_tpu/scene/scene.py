@@ -35,17 +35,24 @@ class Scene:
     triangles: Triangles
     materials: Materials
     bvh: Optional[Any] = None
+    # Pair-record tables for the Pallas packet-traversal megakernel
+    # (`spira_tpu.accel.pairs.PackedBVH`); attach with
+    # `spira_tpu.accel.pairs.attach_packed`.
+    packed: Optional[Any] = None
 
     def with_bvh(self, bvh) -> "Scene":
         return replace(self, bvh=bvh)
 
 
-def make_scene(spheres=None, triangles=None, materials=None, bvh=None) -> Scene:
+def make_scene(
+    spheres=None, triangles=None, materials=None, bvh=None, packed=None
+) -> Scene:
     return Scene(
         spheres=spheres if spheres is not None else empty_spheres(),
         triangles=triangles if triangles is not None else empty_triangles(),
         materials=materials,
         bvh=bvh,
+        packed=packed,
     )
 
 

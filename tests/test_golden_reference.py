@@ -66,6 +66,7 @@ def test_physical_semantics_differs_but_same_scale(oracle_image):
     assert 0.5 < img.mean() / oracle_image.mean() < 2.5
 
 
+@pytest.mark.slow
 def test_russian_roulette_unbiased():
     """RR must not change the expected image (MSL kernel :246-253 semantics)."""
     import jax

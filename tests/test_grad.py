@@ -1,6 +1,7 @@
 """Gradient correctness: finite-difference parity and the Adam inverse loop
 (BASELINE.json: "gradient parity vs finite differences"; config 4)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -140,6 +141,7 @@ def test_camera_gradients_flow_fused():
     assert abs(fd - g[2]) <= max(5e-3, 0.15 * abs(fd)), (fd, g[2])
 
 
+@pytest.mark.slow
 def test_geometry_gradients_flow_fused():
     """Gradients w.r.t. sphere centers/radii (interior illumination terms;
     silhouette discontinuities excluded by construction of the check)."""

@@ -92,6 +92,7 @@ def test_megakernel_rejects_large_triangle_scenes():
         )
 
 
+@pytest.mark.slow
 def test_fused_triangles_match_wavefront():
     """Small-mesh fused tracing (static triangle unroll) agrees with the
     wavefront estimator — the Cornell box exercises quads + spheres."""
@@ -163,6 +164,7 @@ def test_megakernel_padding_tiles():
     assert abs(mk.mean() - xla.mean()) < 0.05
 
 
+@pytest.mark.slow
 def test_fused_gradients_match_finite_differences():
     """The fused engine is differentiable (path-replay remat): check
     d(loss)/d(albedo) against central differences."""

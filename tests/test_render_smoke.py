@@ -134,3 +134,35 @@ def test_reference_api_aliases():
     assert float(np.asarray(b, np.float32).mean()) <= float(
         np.asarray(a, np.float32).mean()
     )
+
+
+def test_select_engine_no_device_sync():
+    """Engine dispatch must be computable from static metadata alone: it runs
+    per render call, and reading a traced value (the old
+    `float(camera.lens_radius)`) blocks ~50 ms per call through the axon
+    tunnel.  `jax.eval_shape` makes every array leaf abstract, so any
+    concretization inside select_engine raises."""
+    import jax
+    import jax.numpy as jnp
+
+    from spira_tpu.render import select_engine
+
+    scene = st.create_scene()
+    cam = st.default_camera(2.0)
+
+    def dispatch_only(s, c):
+        engine = select_engine(s, "physical", False, "auto", camera=c)
+        assert isinstance(engine, str)
+        return jnp.zeros(())
+
+    jax.eval_shape(dispatch_only, scene, cam)
+
+    lens_cam = st.make_camera(
+        lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0), aperture=0.2,
+        aspect_ratio=2.0,
+    )
+    assert lens_cam.has_lens
+    assert (
+        select_engine(scene, "physical", False, "auto", camera=lens_cam)
+        == "wavefront"
+    )

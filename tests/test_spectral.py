@@ -180,6 +180,7 @@ def test_spectral_gradients_flow_to_spd():
     assert np.abs(g).max() > 0
 
 
+@pytest.mark.slow
 def test_fused_spectral_matches_wavefront():
     """The fused spectral engine (Chebyshev SPDs, PCG RNG) implements the
     same hero-wavelength estimator as the wavefront path."""
@@ -217,6 +218,7 @@ def test_fused_spectral_via_render_api():
     assert 0.1 < a.mean() < 0.95
 
 
+@pytest.mark.slow
 def test_fused_spectral_spd_gradients():
     """Gradients flow to albedo_spd through the Chebyshev projection."""
     import jax
