@@ -60,24 +60,45 @@ def main() -> None:
         render_flat_fused(scene, camera, **kw, seed=7)
     )
 
-    # Headline: full differentiable step on the fused engine — forward
-    # render + MSE loss + gradients w.r.t. all material fields.
-    @jax.jit
-    def train_step(materials, scene, camera, target, seed):
-        def loss_fn(materials):
-            img = render_flat_fused(
-                replace(scene, materials=materials), camera, **kw, seed=seed
+    # Headline: full differentiable step — forward render + MSE loss +
+    # gradients w.r.t. all camera/sphere/material fields — on the Pallas
+    # fwd+bwd megakernel (kernels/grad_megakernel.py, one dispatch).
+    # Fallback: fused-XLA value_and_grad (identical estimator).
+    headline_engine = "pallas fwd+bwd megakernel"
+    try:
+        from spira_tpu.kernels.grad_megakernel import render_mse_loss_and_grads
+
+        def step(seed):
+            return render_mse_loss_and_grads(
+                scene, camera, target, **kw, seed=seed
             )
-            return jnp.mean((img - target) ** 2)
 
-        return jax.value_and_grad(loss_fn)(materials)
+        dt_bwd = _time(lambda i: step(i), 20)
+        loss, _, _ = step(0)
+    except Exception as e:  # pragma: no cover - TPU-env guard
+        print(f"pallas grad kernel unavailable ({e!r}); "
+              "falling back to fused-XLA", file=sys.stderr)
+        headline_engine = "fused-XLA value_and_grad"
 
-    def step(seed):
-        return train_step(scene.materials, scene, camera, target, seed)
+        @jax.jit
+        def train_step(materials, scene, camera, target, seed):
+            def loss_fn(materials):
+                img = render_flat_fused(
+                    replace(scene, materials=materials), camera, **kw,
+                    seed=seed,
+                )
+                return jnp.mean((img - target) ** 2)
 
-    dt_bwd = _time(lambda i: step(i), 20)
-    loss, _ = step(0)
-    print(f"loss check: {float(loss):.6f}", file=sys.stderr)
+            return jax.value_and_grad(loss_fn)(materials)
+
+        def step(seed):
+            return train_step(scene.materials, scene, camera, target, seed)
+
+        dt_bwd = _time(lambda i: step(i), 20)
+        loss, _ = step(0)
+    print(
+        f"loss check: {float(loss):.6f} ({headline_engine})", file=sys.stderr
+    )
     rays_per_sec = rays / dt_bwd
 
     # Secondary engines to stderr for the record.
@@ -120,6 +141,32 @@ def main() -> None:
             f"({dt_pallas * 1e3:.2f} ms)",
             file=sys.stderr,
         )
+
+    # Mesh tier (BASELINE config 3): bunny-class scene on the packet-BVH
+    # Pallas engine.
+    if os.environ.get("SPIRA_BENCH_MESH", "1") != "0":
+        try:
+            from spira_tpu.kernels.bvh_megakernel import (
+                render_flat_bvh_megakernel,
+            )
+            from spira_tpu.scene.bunny import bunny_camera, create_bunny_scene
+
+            mscene, minfo = create_bunny_scene()
+            mcamera = bunny_camera(WIDTH / HEIGHT)
+            n_tris = minfo["triangles"]
+            dt_mesh = _time(
+                lambda i: render_flat_bvh_megakernel(
+                    mscene, mcamera, **kw, seed=i
+                ),
+                5,
+            )
+            print(
+                f"fwd packet-BVH megakernel ({n_tris} tris): "
+                f"{rays / dt_mesh / 1e6:.0f} Mrays/s ({dt_mesh * 1e3:.1f} ms)",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover - TPU-env guard
+            print(f"mesh bench skipped ({e!r})", file=sys.stderr)
 
 
 if __name__ == "__main__":

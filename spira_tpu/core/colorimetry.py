@@ -40,11 +40,10 @@ def _gauss(x, mu, s1, s2):
     return jnp.exp(-0.5 * t * t)
 
 
-def cmf_xyz(lam):
-    """CIE 1931 2° x̄,ȳ,z̄ at wavelengths ``lam`` (nm, any shape).
-
-    Returns (..., 3).  Wyman et al. 2013 multi-lobe fits.
-    """
+def cmf_xyz_components(lam):
+    """CIE 1931 2° (x̄, ȳ, z̄) at wavelengths ``lam`` (nm, any shape) as a
+    tuple of three same-shape arrays — pure elementwise ops, safe inside
+    Pallas kernels (no minor-dim-3 stack).  Wyman et al. 2013 fits."""
     x = (
         1.056 * _gauss(lam, 599.8, 37.9, 31.0)
         + 0.362 * _gauss(lam, 442.0, 16.0, 26.7)
@@ -56,7 +55,15 @@ def cmf_xyz(lam):
     z = 1.217 * _gauss(lam, 437.0, 11.8, 36.0) + 0.681 * _gauss(
         lam, 459.0, 26.0, 13.8
     )
-    return jnp.stack([x, y, z], axis=-1)
+    return x, y, z
+
+
+def cmf_xyz(lam):
+    """CIE 1931 2° x̄,ȳ,z̄ at wavelengths ``lam`` (nm, any shape).
+
+    Returns (..., 3).  Wyman et al. 2013 multi-lobe fits.
+    """
+    return jnp.stack(cmf_xyz_components(lam), axis=-1)
 
 
 def _y_integral() -> float:

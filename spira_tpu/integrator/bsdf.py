@@ -27,18 +27,43 @@ from ..core import rng as srng
 from ..core import vecmath as vm
 
 
+def one_hot_rows(idx, count):
+    """(N, count) float32 one-hot of int indices.
+
+    The wavefront runs inside a `lax.scan` over bounces, where XLA lowers
+    per-lane gathers ~100x slower than standalone (measured cost model,
+    docs/ARCHITECTURE.md).  A one-hot matmul routes the same row selection
+    through the MXU instead — bitwise-identical results (1*x + 0*... = x).
+    """
+    return (idx[:, None] == jnp.arange(count, dtype=idx.dtype)[None, :]).astype(
+        jnp.float32
+    )
+
+
+def take_rows(one_hot, table):
+    """rows[i] = table[idx[i]] via MXU; table (M,) or (M, K)."""
+    if table.ndim == 1:
+        return one_hot @ table
+    return jnp.matmul(one_hot, table, preferred_element_type=jnp.float32)
+
+
 def gather_materials(materials, mat_idx):
-    """Per-ray material fields from per-ray 0-based material indices."""
-    return {
-        "albedo": materials.albedo[mat_idx],
-        "emission": materials.emission[mat_idx],
-        "metallic": materials.metallic[mat_idx],
-        "roughness": materials.roughness[mat_idx],
-        "ior": materials.ior[mat_idx],
-        "transmission": materials.transmission[mat_idx],
-        "cauchy_b": materials.cauchy_b[mat_idx]
+    """Per-ray material fields from per-ray 0-based material indices
+    (one-hot MXU row selection — no per-lane gathers in the bounce loop)."""
+    oh = one_hot_rows(mat_idx, materials.count)
+    cauchy = (
+        materials.cauchy_b
         if materials.cauchy_b is not None
-        else materials.ior[mat_idx] * 0.0,
+        else materials.ior * 0.0
+    )
+    return {
+        "albedo": take_rows(oh, materials.albedo),
+        "emission": take_rows(oh, materials.emission),
+        "metallic": take_rows(oh, materials.metallic),
+        "roughness": take_rows(oh, materials.roughness),
+        "ior": take_rows(oh, materials.ior),
+        "transmission": take_rows(oh, materials.transmission),
+        "cauchy_b": take_rows(oh, cauchy),
     }
 
 

@@ -65,17 +65,27 @@ def intersect_spheres(spheres, origins, directions, t_min=T_MIN, t_max=INF) -> H
     valid = disc_ok & (root > t_min) & (root < t_max)
     t = jnp.where(valid, root, INF)
 
-    best = jnp.argmin(t, axis=1)  # (N,)
-    t_best = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
+    t_best = jnp.min(t, axis=1)  # (N,)
     hit = t_best < INF
+    # One-hot winner selection (first match on ties) routed through the MXU
+    # — per-lane gathers inside the bounce scan are ~100x slower (cost
+    # model, docs/ARCHITECTURE.md).
+    is_best = (t == t_best[:, None]) & valid
+    one_hot = (is_best & (jnp.cumsum(is_best, axis=1) == 1)).astype(
+        jnp.float32
+    )
     # INF stays in Hit.t (merge_hits relies on it); use a guarded t for the
     # normal computation only.
     t_safe = jnp.where(hit, t_best, 1.0)
 
-    center = spheres.centers[best]  # (N,3)
+    center = jnp.matmul(
+        one_hot, spheres.centers, preferred_element_type=jnp.float32
+    )  # (N,3)
     p = origins + t_safe[:, None] * directions
     normal = vm.normalize(p - center)
-    material = spheres.material[best]
+    material = (one_hot @ spheres.material.astype(jnp.float32)).astype(
+        jnp.int32
+    )
     return Hit(t=t_best, normal=normal, material=material, hit=hit)
 
 
@@ -102,11 +112,16 @@ def intersect_triangles(
         & (t < t_max)
     )
     t = jnp.where(valid, t, INF)
-    best = jnp.argmin(t, axis=1)
-    t_best = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
+    t_best = jnp.min(t, axis=1)
     hit = t_best < INF
-    normal = tris.normal[best]
-    material = tris.material[best]
+    is_best = (t == t_best[:, None]) & valid
+    one_hot = (is_best & (jnp.cumsum(is_best, axis=1) == 1)).astype(
+        jnp.float32
+    )
+    normal = jnp.matmul(
+        one_hot, tris.normal, preferred_element_type=jnp.float32
+    )
+    material = (one_hot @ tris.material.astype(jnp.float32)).astype(jnp.int32)
     return Hit(t=t_best, normal=normal, material=material, hit=hit)
 
 

@@ -94,8 +94,11 @@ def _bounce(carry, bounce_idx, *, scene, sample_key, lam, russian_roulette):
     mat = bsdf.gather_materials(materials, hit.material)
 
     # SPD lookups: (N, W) albedo/emission at each carried wavelength.
-    alb = cl.sample_spd(materials.albedo_spd[hit.material], lam)  # (N, W)
-    emi = cl.sample_spd(materials.emission_spd[hit.material], lam)
+    # SPD table rows route through the one-hot MXU selection like the RGB
+    # fields (per-lane gathers are ~100x slower inside the bounce scan).
+    oh = bsdf.one_hot_rows(hit.material, materials.count)
+    alb = cl.sample_spd(bsdf.take_rows(oh, materials.albedo_spd), lam)
+    emi = cl.sample_spd(bsdf.take_rows(oh, materials.emission_spd), lam)
 
     # Sky: RGB gradient upsampled per wavelength (device-side 3-basis blend).
     sky_rgb = bsdf.sky_color(d)  # (N, 3)

@@ -12,18 +12,33 @@ machine:
 * every box test / triangle test is a full-tile VPU op against *broadcast*
   scalars — there are **zero per-lane gathers** (the op the round-1 cost
   model measured at ~100x slow inside XLA loop bodies);
-* a node is descended iff ANY lane's slab test passes (`jnp.any` cross-lane
-  reduce), with per-lane `best_t` shrinking the interval so finished lanes
-  stop pulling the packet down the tree;
 * node pairs and leaf triangles live VMEM-resident for the whole render
   (`accel/pairs.py` packs them so the only dynamic access is a row load at
   a dynamic sublane index — the supported-fast Mosaic case).
 
+Traversal order (measured on v5e — see docs/ARCHITECTURE.md cost model):
+
+* **pair records, one reduce per pop**: a popped record holds BOTH
+  children's boxes; both slab tests are VPU ops, and their two any-lane
+  bits come out of ONE cross-lane sum — per-lane ``hit0*1 + hit1*2048``
+  summed over 1024 lanes packs both hit counts exactly into a float32
+  (max 1024 + 1024*2048 < 2^24), decoded with scalar floor/subtract.
+  Cross-lane reduces are the dominant per-visit cost, so this halves it
+  vs reducing each child separately.
+* **sphere-first seeding**: the static sphere unroll runs before traversal
+  and seeds ``best_t``, so ground/light hits cull mesh subtrees behind
+  them;
+* **ordered descent**: internal children are pushed far-then-near by
+  projecting box centers on the packet's mean ray (pure scalar math, no
+  extra reduces), so near subtrees shrink ``best_t`` before far ones pop;
+* **inline leaves**: leaf children are intersected at the parent's pop
+  (never pushed), keeping the stack short and the triangle tests fresh.
+
 Everything else — ray generation, the spp x bounce loop, BSDF scatter,
 Russian roulette, sky/emission accumulation — is the exact
 :func:`spira_tpu.kernels.megakernel.trace_tile` code, entered through its
-``intersect_fn`` hook; spheres are still statically unrolled (scenes carry
-few), so mixed sphere+mesh scenes run fused end-to-end in one dispatch.
+``intersect_fn`` hook; mixed sphere+mesh scenes run fused end-to-end in one
+dispatch.
 """
 
 from __future__ import annotations
@@ -43,9 +58,26 @@ TILE_H = mk.TILE_H
 TILE_W = mk.TILE_W
 INF = mk.INF
 T_MIN = mk.T_MIN
-STACK_SIZE = 96  # node-tree depth is builder-capped at 62; margin + discard
+STACK_SIZE = 96  # only internal children are pushed; builder caps depth at 62
 _DISCARD = STACK_SIZE - 1  # masked pushes land here and are never read
 N_MAT_FIELDS = 10  # ar ag ab er eg eb metallic roughness ior transmission
+#: bit-plane multiplier for the combined two-child hit-count reduce:
+#: sum(hit0 + hit1*2048) <= 1024 + 1024*2048 < 2^24 — exact in float32.
+_PLANE = np.float32(2048.0)
+
+
+def traversal_scratch_shapes():
+    """Scratch buffers the packet traversal needs (see `make_packet_intersect`
+    argument order): the scalar pair-row stack and the per-lane hit
+    registers."""
+    return [
+        pltpu.SMEM((STACK_SIZE,), jnp.int32),       # pair-row stack
+        pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # best_t
+        pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # tnx
+        pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # tny
+        pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # tnz
+        pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # mat id
+    ]
 
 
 def make_packet_intersect(
@@ -70,19 +102,37 @@ def make_packet_intersect(
     megakernel); ``mats``: list of 10-scalar material tuples indexed by the
     per-triangle material id selected during traversal.
     """
+    inv_n = np.float32(1.0 / (TILE_H * TILE_W))
+    inv_plane = np.float32(1.0 / float(_PLANE))
 
     def intersect(o3, d3, active):
         ox, oy, oz = o3
         dx, dy, dz = d3
+
+        # ---- spheres first: their hits seed best_t and cull mesh subtrees
+        st = mk.init_hit_state(dx)
+        st = mk.sphere_unroll(spheres, o3, d3, st)
+
         inv_dx = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, jnp.float32(1e12))
         inv_dy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, jnp.float32(1e12))
         inv_dz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, jnp.float32(1e12))
 
-        bt_ref[:] = jnp.full_like(dx, INF)
+        bt_ref[:] = st["best_t"]
         tnx_ref[:] = jnp.zeros_like(dx)
         tny_ref[:] = jnp.zeros_like(dx)
         tnz_ref[:] = jnp.zeros_like(dx)
         mid_ref[:] = jnp.full_like(dx, -1.0)
+
+        # packet mean ray for the ordered-descent heuristic (6 reduces,
+        # amortized over the whole traversal)
+        omx = jnp.sum(ox) * inv_n
+        omy = jnp.sum(oy) * inv_n
+        omz = jnp.sum(oz) * inv_n
+        dmx = jnp.sum(dx) * inv_n
+        dmy = jnp.sum(dy) * inv_n
+        dmz = jnp.sum(dz) * inv_n
+
+        activef = active.astype(jnp.float32)
         stack_ref[0] = np.int32(root)
         # a packet with no live lanes skips traversal entirely
         sp0 = jnp.where(jnp.any(active), 1, 0).astype(jnp.int32)
@@ -94,21 +144,22 @@ def make_packet_intersect(
             sp = sp - 1
             p = stack_ref[sp]
             rec = pairs_ref[pl.ds(p, 1), :]  # (1, 16) both children
-            # half 1 is pushed first so half 0 (the builder's left/near
-            # child) pops first — the MSL traversal's push-right-then-left
-            # order (/root/reference/examples/julia-raytracer-optimized.jl:1756-1760).
-            for half in (1, 0):
-                base = 8 * half
-                lox = rec[0, base + 0]
-                loy = rec[0, base + 1]
-                loz = rec[0, base + 2]
-                hix = rec[0, base + 3]
-                hiy = rec[0, base + 4]
-                hiz = rec[0, base + 5]
-                ptr_i = rec[0, base + 6].astype(jnp.int32)
-                cnt_f = rec[0, base + 7]
+            best = bt_ref[:]
 
-                # branchless slab test over the whole tile
+            # both children's slab tests as straight-line VPU code
+            hits = []
+            ents = []
+            prjs = []
+            for half in (0, 1):
+                b = 8 * half
+                lox = rec[0, b + 0]
+                loy = rec[0, b + 1]
+                loz = rec[0, b + 2]
+                hix = rec[0, b + 3]
+                hiy = rec[0, b + 4]
+                hiz = rec[0, b + 5]
+                ptr = rec[0, b + 6].astype(jnp.int32)
+                cnt = rec[0, b + 7]
                 t0 = (lox - ox) * inv_dx
                 t1 = (hix - ox) * inv_dx
                 tn = jnp.minimum(t0, t1)
@@ -121,21 +172,42 @@ def make_packet_intersect(
                 t1 = (hiz - oz) * inv_dz
                 tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                 tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-                tn = jnp.maximum(tn, 0.0)
-                tf = jnp.minimum(tf, bt_ref[:])
-                hitm = (tn <= tf) & active
-                anyhit = jnp.any(hitm)
+                hitm = (jnp.maximum(tn, 0.0) <= jnp.minimum(tf, best)) & (
+                    cnt > -0.5
+                )
+                hits.append(hitm)
+                ents.append((ptr, cnt))
+                prjs.append(
+                    (0.5 * (lox + hix) - omx) * dmx
+                    + (0.5 * (loy + hiy) - omy) * dmy
+                    + (0.5 * (loz + hiz) - omz) * dmz
+                )
 
-                @pl.when(anyhit & (cnt_f > 0.5))
-                def _leaf():
-                    cnt_i = cnt_f.astype(jnp.int32)
-                    best = bt_ref[:]
+            # ONE cross-lane reduce decodes both children's any-hit bits
+            packed = (
+                hits[0].astype(jnp.float32) + hits[1].astype(jnp.float32)
+                * _PLANE
+            ) * activef
+            s = jnp.sum(packed)
+            c1 = jnp.floor(s * inv_plane)
+            any1 = c1 > 0.5
+            any0 = (s - c1 * _PLANE) > 0.5
+
+            anyhits = (any0, any1)
+            for half in (0, 1):
+                ptr, cnt = ents[half]
+                hitm = hits[half] & active
+
+                @pl.when(anyhits[half] & (cnt > 0.5))
+                def _leaf(ptr=ptr, cnt=cnt, hitm=hitm):
+                    cnt_i = cnt.astype(jnp.int32)
+                    best_l = bt_ref[:]
                     nx_l = tnx_ref[:]
                     ny_l = tny_ref[:]
                     nz_l = tnz_ref[:]
                     mid_l = mid_ref[:]
                     for rr in range(rows_per_leaf):
-                        rowv = tris_ref[pl.ds(ptr_i + rr, 1), :]  # (1, 128)
+                        rowv = tris_ref[pl.ds(ptr + rr, 1), :]  # (1, 128)
                         for j in range(TRIS_PER_ROW):
                             jj = rr * TRIS_PER_ROW + j
                             if jj >= max_leaf:
@@ -167,7 +239,9 @@ def make_packet_intersect(
                             tvx = ox - v0x
                             tvy = oy - v0y
                             tvz = oz - v0z
-                            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                            uu = (
+                                tvx * pvx + tvy * pvy + tvz * pvz
+                            ) * inv_det
                             qvx = tvy * e1z - tvz * e1y
                             qvy = tvz * e1x - tvx * e1z
                             qvz = tvx * e1y - tvy * e1x
@@ -179,41 +253,49 @@ def make_packet_intersect(
                                 & (vv >= 0.0)
                                 & (uu + vv <= 1.0)
                                 & (tt > T_MIN)
-                                & (tt < best)
+                                & (tt < best_l)
                                 & hitm
                                 & (jj < cnt_i)
                             )
-                            best = jnp.where(hit_k, tt, best)
+                            best_l = jnp.where(hit_k, tt, best_l)
                             nx_l = jnp.where(hit_k, nxc, nx_l)
                             ny_l = jnp.where(hit_k, nyc, ny_l)
                             nz_l = jnp.where(hit_k, nzc, nz_l)
                             mid_l = jnp.where(hit_k, matf, mid_l)
-                    bt_ref[:] = best
+                    bt_ref[:] = best_l
                     tnx_ref[:] = nx_l
                     tny_ref[:] = ny_l
                     tnz_ref[:] = nz_l
                     mid_ref[:] = mid_l
 
-                do_push = anyhit & (cnt_f == 0.0)
-                stack_ref[jnp.where(do_push, sp, _DISCARD)] = ptr_i
-                sp = sp + do_push.astype(jnp.int32)
+            # ordered descent: push the far internal child first so the near
+            # one pops first and shrinks best_t before the far subtree runs
+            push0 = any0 & (ents[0][1] == 0.0)
+            push1 = any1 & (ents[1][1] == 0.0)
+            near0 = prjs[0] <= prjs[1]
+            far_ptr = jnp.where(near0, ents[1][0], ents[0][0])
+            far_push = jnp.where(near0, push1, push0)
+            near_ptr = jnp.where(near0, ents[0][0], ents[1][0])
+            near_push = jnp.where(near0, push0, push1)
+            stack_ref[jnp.where(far_push, sp, _DISCARD)] = far_ptr
+            sp = sp + far_push.astype(jnp.int32)
+            stack_ref[jnp.where(near_push, sp, _DISCARD)] = near_ptr
+            sp = sp + near_push.astype(jnp.int32)
             return sp
 
         jax.lax.while_loop(cond, body, sp0)
 
-        # ---- resolve into the shared hit-state shape, then spheres + finish
-        st = mk.init_hit_state(dx)
-        t_tri = bt_ref[:]
-        tri_hit = t_tri < INF
-        st["best_t"] = t_tri
+        # ---- resolve traversal registers into the shared hit-state shape
+        t_all = bt_ref[:]
+        mid = mid_ref[:]
+        tri_hit = mid >= 0.0
+        st["best_t"] = t_all
         st["hit_is_tri"] = tri_hit
         st["tnx"] = tnx_ref[:]
         st["tny"] = tny_ref[:]
         st["tnz"] = tnz_ref[:]
-        mid = mid_ref[:]
         for m, fields in enumerate(mats):
             mk._select_mats(st, tri_hit & (mid == np.float32(m)), fields)
-        st = mk.sphere_unroll(spheres, o3, d3, st)
         return mk.finish_intersect(o3, d3, st)
 
     return intersect
@@ -280,7 +362,7 @@ def _intersect_only_kernel(
     o3 = (ox_ref[:], oy_ref[:], oz_ref[:])
     d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
     intersect(o3, d3, jnp.ones_like(ox_ref[:], dtype=jnp.bool_))
-    # raw traversal results (pre-sphere) live in the scratch refs
+    # raw traversal results (pre-material-resolve) live in the scratch refs
     out_t[:] = bt_ref[:]
     out_nx[:] = tnx_ref[:]
     out_ny[:] = tny_ref[:]
@@ -322,9 +404,7 @@ def _intersect_tile_launch(packed, origins, dirs, interpret):
             ),
         ],
         out_specs=(block,) * 5,
-        scratch_shapes=[
-            pltpu.SMEM((STACK_SIZE,), jnp.int32),
-        ] + [pltpu.VMEM((TILE_H, TILE_W), jnp.float32)] * 5,
+        scratch_shapes=traversal_scratch_shapes(),
         interpret=interpret,
     )(*comps, packed.pairs, packed.tri_rows)
     return [o.reshape(-1) for o in outs]
@@ -428,14 +508,7 @@ def _launch(
             ),
         ],
         out_specs=(block, block, block),
-        scratch_shapes=[
-            pltpu.SMEM((STACK_SIZE,), jnp.int32),
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # best_t
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # tnx
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # tny
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # tnz
-            pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # mat id
-        ],
+        scratch_shapes=traversal_scratch_shapes(),
         compiler_params=params,
         interpret=interpret,
     )(seed_arr, cam_arr, mat_arr, sph_arr, pairs, tri_rows)

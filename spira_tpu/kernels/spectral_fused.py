@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..core import colorimetry as cl
 from ..core import pcg
@@ -420,10 +421,10 @@ def trace_tile_spectral(
         sy_ = jnp.zeros_like(row_f)
         sz_ = jnp.zeros_like(row_f)
         for j in range(W):
-            cmf = cl.cmf_xyz(lam[j])  # (..., 3) analytic fits
-            sx_ = sx_ + rad[j] * cmf[..., 0]
-            sy_ = sy_ + rad[j] * cmf[..., 1]
-            sz_ = sz_ + rad[j] * cmf[..., 2]
+            cmx, cmy, cmz = cl.cmf_xyz_components(lam[j])  # analytic fits
+            sx_ = sx_ + rad[j] * cmx
+            sy_ = sy_ + rad[j] * cmy
+            sz_ = sz_ + rad[j] * cmz
         scale = np.float32(cl.LAMBDA_RANGE / cl.Y_INTEGRAL / W)
         return (acc_x + sx_ * scale, acc_y + sy_ * scale, acc_z + sz_ * scale)
 
@@ -575,6 +576,127 @@ def render_flat_fused_spectral(
         n_spheres=scene.spheres.count,
         n_tris=scene.triangles.count,
         inclusive_uv=inclusive_uv,
+    )
+    img = rgb[:height, :width]
+    return jnp.reshape(img, (height * width, 3))
+
+
+# ----------------------------------------------------------------------------
+# Pallas wrapper (same tracer, one Mosaic program per (8, 128) tile)
+# ----------------------------------------------------------------------------
+
+
+def _spectral_kernel(
+    seed_ref, cam_ref, sph_ref, tri_ref, out_x, out_y, out_z,
+    *, spp, max_depth, width, height, n_spheres, n_tris, inclusive_uv,
+):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    row = i * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
+    col = j * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    cam = tuple(cam_ref[0, k] for k in range(12))
+    spheres = [
+        tuple(sph_ref[k, f] for f in range(N_SPH_SPEC))
+        for k in range(n_spheres)
+    ]
+    triangles = [
+        tuple(tri_ref[k, f] for f in range(N_TRI_SPEC)) for k in range(n_tris)
+    ]
+    x, y, z = trace_tile_spectral(
+        (row * width + col).astype(jnp.uint32),
+        row.astype(jnp.float32),
+        col.astype(jnp.float32),
+        cam,
+        spheres,
+        triangles,
+        seed=seed_ref[0, 0],
+        spp=spp,
+        max_depth=max_depth,
+        du=np.float32(width - 1 if inclusive_uv else width),
+        dv=np.float32(height - 1 if inclusive_uv else height),
+        remat=False,  # Mosaic has no remat2 lowering; forward-only kernel
+    )
+    inv = np.float32(1.0 / spp)
+    out_x[:] = x * inv
+    out_y[:] = y * inv
+    out_z[:] = z * inv
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "spp", "max_depth", "n_spheres",
+                     "n_tris", "inclusive_uv", "interpret"),
+)
+def _launch_spectral(
+    seed_arr, scene, camera, *, width, height, spp, max_depth,
+    n_spheres, n_tris, inclusive_uv, interpret,
+):
+    from .megakernel import pack_camera_jnp
+
+    cam_arr = pack_camera_jnp(camera)
+    sph_arr, tri_arr = pack_scene_spectral_jnp(scene)
+    grid_h = pl.cdiv(height, TILE_H)
+    grid_w = pl.cdiv(width, TILE_W)
+    h_pad = grid_h * TILE_H
+    w_pad = grid_w * TILE_W
+
+    kernel = functools.partial(
+        _spectral_kernel,
+        spp=spp, max_depth=max_depth, width=width, height=height,
+        n_spheres=n_spheres, n_tris=n_tris, inclusive_uv=inclusive_uv,
+    )
+    out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
+    block = pl.BlockSpec(
+        (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+    )
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    x, y, z = pl.pallas_call(
+        kernel,
+        grid=(grid_h, grid_w),
+        out_shape=(out_shape, out_shape, out_shape),
+        in_specs=[smem, smem, smem, smem],
+        out_specs=(block, block, block),
+        interpret=interpret,
+    )(seed_arr, cam_arr, sph_arr, tri_arr)
+    # XYZ -> linear sRGB outside the kernel (minor-dim-3 stack is an XLA op)
+    return cl.xyz_to_rgb(jnp.stack([x, y, z], axis=-1))
+
+
+def render_flat_spectral_megakernel(
+    scene,
+    camera,
+    *,
+    width: int,
+    height: int,
+    spp: int = 16,
+    max_depth: int = 4,
+    seed: int = 0,
+    inclusive_uv: bool = True,
+    interpret: bool = False,
+):
+    """Pallas spectral render → flat (H*W, 3) bottom-up linear-sRGB buffer.
+
+    Identical tracer (and PCG stream) to
+    :func:`render_flat_fused_spectral` — images match to float tolerance;
+    the Pallas program just tiles it onto the (8, 128) vector units.
+    """
+    if scene.triangles.count > FUSED_TRI_LIMIT:
+        raise ValueError(
+            f"spectral megakernel supports at most {FUSED_TRI_LIMIT} "
+            f"triangles; large meshes use the wavefront spectral path"
+        )
+    rgb = _launch_spectral(
+        jnp.asarray([[seed]], jnp.int32),
+        scene,
+        camera,
+        width=width,
+        height=height,
+        spp=spp,
+        max_depth=max_depth,
+        n_spheres=scene.spheres.count,
+        n_tris=scene.triangles.count,
+        inclusive_uv=inclusive_uv,
+        interpret=interpret,
     )
     img = rgb[:height, :width]
     return jnp.reshape(img, (height * width, 3))

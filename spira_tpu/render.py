@@ -174,7 +174,8 @@ def select_engine(
         # here was a blocking device sync per dispatch (~50 ms through the
         # axon tunnel; the regression class of commit 0fff45e).
         fusable = False
-    if fusable and semantics == "physical" and not spectral:
+    if fusable and semantics == "physical":
+        # spectral included: the Chebyshev fused tracer has a Pallas wrapper
         return "pallas" if jax.default_backend() == "tpu" else "fused"
     return "wavefront"
 
@@ -196,10 +197,19 @@ def render_flat_engine(
         )
     if engine in ("pallas", "fused"):
         if spectral:
-            # fused spectral engine (Chebyshev SPDs); no Pallas variant yet
-            from .kernels.spectral_fused import render_flat_fused_spectral
+            # spectral engines (Chebyshev SPDs): same tracer as one Mosaic
+            # program per tile (pallas) or one fused XLA computation
+            from .kernels.spectral_fused import (
+                render_flat_fused_spectral,
+                render_flat_spectral_megakernel,
+            )
 
-            return render_flat_fused_spectral(
+            fn = (
+                render_flat_spectral_megakernel
+                if engine == "pallas"
+                else render_flat_fused_spectral
+            )
+            return fn(
                 scene, camera, width=width, height=height, spp=spp,
                 max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
             )
