@@ -38,7 +38,7 @@ MAX_STACK = 64  # traversal stack depth, mirrors `uint stack[64]`
 # (/root/reference/examples/julia-raytracer-optimized.jl:1722)
 
 
-@pytree_dataclass(meta_fields=("max_leaf",))
+@pytree_dataclass(meta_fields=("max_leaf", "n_sph"))
 class FlatBVH:
     """Device-resident flat BVH (replicated per chip under sharding)."""
 
@@ -55,6 +55,12 @@ class FlatBVH:
     sibling: jnp.ndarray = None  # (M,) int32
     is_left: jnp.ndarray = None  # (M,) int32 0/1
     max_leaf: int = LEAF_SIZE  # static: largest leaf count (unroll bound)
+    # Mixed sphere+triangle trees (build_mixed_bvh): prim ids < n_sph are
+    # sphere indices, ids >= n_sph index triangle (id - n_sph).  The typed
+    # indirection of the reference flat BVH v1's GPUPrimitiveReference
+    # (/root/reference/examples/julia-raytracer-optimized.jl:1232-1324),
+    # encoded as an index offset instead of a (type, index) struct pair.
+    n_sph: int = 0
 
     @property
     def node_count(self) -> int:
@@ -185,6 +191,41 @@ def build_bvh_for_triangles(
 
         return build_bvh_best(lo, hi, leaf_size)
     return build_bvh(lo, hi, leaf_size)
+
+
+def build_mixed_bvh(spheres, tris=None, leaf_size: int = LEAF_SIZE) -> FlatBVH:
+    """One tree over spheres AND triangles (mixed-primitive leaves).
+
+    Sphere s occupies prim id s with AABB center±radius; triangle t occupies
+    prim id n_sph + t.  Traverse with
+    :func:`spira_tpu.accel.traverse.intersect_bvh_mixed` — sphere-heavy
+    scenes then stop brute-forcing every sphere per ray.
+    """
+    from ..scene.geometry import triangle_bounds
+
+    centers = np.asarray(spheres.centers, np.float64)
+    radii = np.asarray(spheres.radii, np.float64)[:, None]
+    lo = [centers - radii]
+    hi = [centers + radii]
+    if tris is not None and tris.count > 0:
+        tlo, thi = triangle_bounds(tris)
+        lo.append(np.asarray(tlo))
+        hi.append(np.asarray(thi))
+    arrays, order = _build_arrays(
+        np.concatenate(lo), np.concatenate(hi), leaf_size
+    )
+    leaf = np.asarray(arrays.is_leaf) == 1
+    max_leaf = int(np.asarray(arrays.right)[leaf].max())
+    return add_links(FlatBVH(
+        node_min=jnp.asarray(np.asarray(arrays.node_min, np.float32)),
+        node_max=jnp.asarray(np.asarray(arrays.node_max, np.float32)),
+        left=jnp.asarray(np.asarray(arrays.left, np.int32)),
+        right=jnp.asarray(np.asarray(arrays.right, np.int32)),
+        is_leaf=jnp.asarray(np.asarray(arrays.is_leaf, np.int32)),
+        prim_idx=jnp.asarray(order.astype(np.int32)),
+        max_leaf=max_leaf,
+        n_sph=int(spheres.count),
+    ))
 
 
 def build_two_level(

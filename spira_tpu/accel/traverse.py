@@ -161,6 +161,157 @@ def intersect_bvh(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
     )
 
 
+def intersect_bvh_mixed(
+    bvh, spheres, tris, origins, directions, t_min=T_MIN
+) -> Hit:
+    """Stackless traversal over a mixed sphere+triangle tree
+    (:func:`spira_tpu.accel.bvh.build_mixed_bvh`); the TPU form of the
+    reference's typed-primitive leaf loop (`hit_bvh` dispatching
+    sphere/triangle intersects,
+    /root/reference/examples/julia-raytracer-optimized.jl:1710-1775).
+
+    Each leaf slot gathers one sphere row and one triangle row and selects
+    the test by primitive type — both are 1-D row gathers (the fast case in
+    the measured cost model); the extra masked test per slot beats a
+    per-ray brute-force pass over every sphere once spheres are plentiful.
+    """
+    leaf_size = bvh.max_leaf
+    n_sph = bvh.n_sph
+    n_tris = tris.count if tris is not None else 0
+    n_total = n_sph + n_tris
+    inv_dir = _safe_inv(directions)
+
+    nodes_f = jnp.concatenate([bvh.node_min, bvh.node_max], axis=1)
+    nodes_i = jnp.stack(
+        [bvh.left, bvh.right, bvh.is_leaf, bvh.parent, bvh.sibling,
+         bvh.is_left],
+        axis=1,
+    )
+    sph4 = jnp.concatenate(
+        [spheres.centers, spheres.radii[:, None]], axis=1
+    )  # (S,4)
+    if n_tris > 0:
+        tris9 = jnp.concatenate([tris.v0, tris.e1, tris.e2], axis=1)
+
+    zero_i = (origins[:, 0] * 0).astype(jnp.int32)
+    state = (
+        zero_i,
+        zero_i < 1,
+        zero_i > 0,
+        origins[:, 0] * 0 + INF,
+        zero_i,
+        jnp.sum(zero_i),
+    )
+    chunk = 8
+    max_iters = 4 * bvh.node_count + 64
+
+    def cond(s):
+        _, _, done, _, _, it = s
+        return jnp.any(~done) & (it < max_iters)
+
+    def step(s):
+        cur, entering, done, best_t, best_prim, it = s
+        nf = nodes_f[cur]
+        ni = nodes_i[cur]
+        left = ni[:, 0]
+        right = ni[:, 1]
+        is_leaf = ni[:, 2] == 1
+        parent = ni[:, 3]
+        sibling = ni[:, 4]
+        is_left = ni[:, 5] == 1
+
+        active = entering & ~done
+        box_hit = _slab_test(nf[:, 0:3], nf[:, 3:6], origins, inv_dir, best_t)
+        box_hit = box_hit & active
+
+        leaf_proc = box_hit & is_leaf
+        for j in range(leaf_size):
+            prim_valid = leaf_proc & (j < right)
+            slot = jnp.clip(left + j, 0, n_total - 1)
+            prim = bvh.prim_idx[slot]  # (N,) typed id
+            is_s = prim < n_sph
+            # ---- sphere test (half-b quadratic)
+            sp = jnp.clip(prim, 0, max(n_sph - 1, 0))
+            sd = sph4[sp]  # (N,4)
+            oc = origins - sd[:, 0:3]
+            half_b = jnp.sum(oc * directions, axis=-1)
+            c = jnp.sum(oc * oc, axis=-1) - sd[:, 3] * sd[:, 3]
+            disc = half_b * half_b - c
+            disc_ok = disc > 0.0
+            sqrtd = jnp.sqrt(jnp.where(disc_ok, disc, 0.0))
+            root0 = -half_b - sqrtd
+            root1 = -half_b + sqrtd
+            t_s = jnp.where(root0 > t_min, root0, root1)
+            valid_s = disc_ok & (t_s > t_min)
+            if n_tris > 0:
+                # ---- triangle test (Möller–Trumbore)
+                tp = jnp.clip(prim - n_sph, 0, n_tris - 1)
+                td = tris9[tp]
+                v0 = td[:, 0:3]
+                e1 = td[:, 3:6]
+                e2 = td[:, 6:9]
+                pvec = jnp.cross(directions, e2)
+                det = jnp.sum(e1 * pvec, axis=-1)
+                det_ok = jnp.abs(det) > 1e-9
+                inv_det = jnp.where(
+                    det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
+                )
+                tvec = origins - v0
+                uu = jnp.sum(tvec * pvec, axis=-1) * inv_det
+                qvec = jnp.cross(tvec, e1)
+                vv = jnp.sum(directions * qvec, axis=-1) * inv_det
+                t_t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+                valid_t = (
+                    det_ok
+                    & (uu >= 0.0)
+                    & (vv >= 0.0)
+                    & (uu + vv <= 1.0)
+                    & (t_t > t_min)
+                )
+                tt = jnp.where(is_s, t_s, t_t)
+                valid = jnp.where(is_s, valid_s, valid_t)
+            else:
+                tt = t_s
+                valid = valid_s
+            closer = prim_valid & valid & (tt < best_t)
+            best_t = jnp.where(closer, tt, best_t)
+            best_prim = jnp.where(closer, prim, best_prim)
+
+        descend = box_hit & ~is_leaf
+        has_sib = is_left & (sibling >= 0)
+        up_next = jnp.where(has_sib, sibling, parent)
+        finish = ~descend & ~done
+        new_done = done | (finish & (cur == 0))
+        next_cur = jnp.where(descend, left, up_next)
+        next_cur = jnp.where(new_done, cur * 0, jnp.maximum(next_cur, 0))
+        next_entering = descend | (~descend & has_sib)
+        return (next_cur, next_entering, new_done, best_t, best_prim, it + 1)
+
+    def body(s):
+        for _ in range(chunk):
+            s = step(s)
+        return s
+
+    _, _, _, best_t, best_prim, _ = jax.lax.while_loop(cond, body, state)
+
+    hit = best_t < INF
+    is_s = best_prim < n_sph
+    sp = jnp.clip(best_prim, 0, max(n_sph - 1, 0))
+    t_safe = jnp.where(hit, best_t, 1.0)
+    p = origins + t_safe[:, None] * directions
+    sph_n = vm.normalize(p - spheres.centers[sp])
+    if n_tris > 0:
+        tp = jnp.clip(best_prim - n_sph, 0, n_tris - 1)
+        normal = jnp.where(is_s[:, None], sph_n, tris.normal[tp])
+        material = jnp.where(
+            is_s, spheres.material[sp], tris.material[tp]
+        )
+    else:
+        normal = sph_n
+        material = spheres.material[sp]
+    return Hit(t=best_t, normal=normal, material=material, hit=hit)
+
+
 def intersect_bvh_stack(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
     """Stack-per-ray traversal (the MSL kernel's literal shape); testing
     oracle for :func:`intersect_bvh`.

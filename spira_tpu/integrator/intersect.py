@@ -156,9 +156,19 @@ def merge_hits(a: Hit, b: Hit) -> Hit:
 def intersect_scene(scene, origins, directions, t_min=T_MIN) -> Hit:
     """Nearest hit against everything in the scene.
 
-    Spheres are always brute force (small count).  Triangles go through the
-    flat-BVH traversal when ``scene.bvh`` is set, else brute force.
+    A mixed sphere+triangle tree (``bvh.n_sph > 0``, see
+    :func:`spira_tpu.accel.bvh.build_mixed_bvh`) resolves everything in one
+    traversal.  Otherwise spheres are brute force (small count) and
+    triangles go through the flat-BVH traversal when ``scene.bvh`` is set,
+    else brute force.
     """
+    if scene.bvh is not None and scene.bvh.n_sph > 0:
+        from ..accel.traverse import intersect_bvh_mixed
+
+        return intersect_bvh_mixed(
+            scene.bvh, scene.spheres, scene.triangles, origins, directions,
+            t_min,
+        )
     hit = intersect_spheres(scene.spheres, origins, directions, t_min)
     if scene.bvh is not None:
         from ..accel.traverse import intersect_bvh

@@ -155,13 +155,60 @@ def save_exr(path: str, hdr: np.ndarray) -> None:
             f.write(np.ascontiguousarray(row[:, 0]).tobytes())
 
 
+def _exr_predictor_interleave(raw: bytes) -> np.ndarray:
+    """OpenEXR ZIP/RLE post-pass: delta-decode then de-interleave halves."""
+    arr = np.frombuffer(raw, np.uint8).astype(np.int64)
+    if arr.size:
+        arr[1:] -= 128
+    arr = (np.cumsum(arr) % 256).astype(np.uint8)
+    out = np.empty_like(arr)
+    half = (arr.size + 1) // 2
+    out[0::2] = arr[:half]
+    out[1::2] = arr[half:]
+    return out
+
+
+def _exr_rle_decode(raw: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n:
+        count = struct.unpack_from("<b", raw, i)[0]
+        i += 1
+        if count < 0:
+            out += raw[i : i - count]
+            i -= count
+        else:
+            out += raw[i : i + 1] * (count + 1)
+            i += 1
+    return bytes(out)
+
+
+_EXR_PIXEL_DTYPES = {0: np.uint32, 1: np.float16, 2: np.float32}
+#: scanlines per chunk by compression id
+_EXR_BLOCK_LINES = {0: 1, 1: 1, 2: 1, 3: 16}
+
+
 def load_exr(path: str) -> np.ndarray:
-    """Read back EXRs produced by :func:`save_exr` (round-trip testing)."""
+    """Read a scanline EXR into an (H, W, 3) float32 RGB array.
+
+    Handles externally produced files, not just :func:`save_exr`'s output:
+    HALF/FLOAT/UINT channels, NONE/RLE/ZIPS/ZIP compression, any channel
+    set containing R, G, B (extras such as A are ignored), and both line
+    orders.  Tiled images and PIZ/B44/DWA compression raise ``ValueError``.
+    """
     with open(path, "rb") as f:
         data = f.read()
-    assert struct.unpack("<I", data[:4])[0] == 20000630, "not an EXR"
+    if struct.unpack("<I", data[:4])[0] != 20000630:
+        raise ValueError(f"{path}: not an EXR file")
+    version = struct.unpack("<I", data[4:8])[0]
+    if version & 0x200:
+        raise ValueError(f"{path}: tiled EXR images are not supported")
     pos = 8
-    width = height = None
+    width = height = y0 = None
+    compression = 0
+    line_order = 0
+    channels = []  # (name, dtype) in file (alphabetical) order
     while data[pos] != 0:
         name_end = data.index(b"\x00", pos)
         name = data[pos:name_end]
@@ -173,19 +220,79 @@ def load_exr(path: str) -> np.ndarray:
         if name == b"dataWindow":
             x0, y0, x1, y1 = struct.unpack_from("<iiii", data, pos)
             width, height = x1 - x0 + 1, y1 - y0 + 1
+        elif name == b"compression":
+            compression = data[pos]
+        elif name == b"lineOrder":
+            line_order = data[pos]
+        elif name == b"channels":
+            cpos = pos
+            while data[cpos] != 0:
+                cname_end = data.index(b"\x00", cpos)
+                cname = data[cpos:cname_end].decode("latin-1")
+                cpos = cname_end + 1
+                # int pixelType, pLinear+3 reserved, int xSampling, ySampling
+                ptype = struct.unpack_from("<i", data, cpos)[0]
+                xs, ys = struct.unpack_from("<ii", data, cpos + 8)
+                if (xs, ys) != (1, 1):
+                    raise ValueError(
+                        f"{path}: subsampled channel {cname!r} unsupported"
+                    )
+                if ptype not in _EXR_PIXEL_DTYPES:
+                    raise ValueError(
+                        f"{path}: unknown pixel type {ptype} for {cname!r}"
+                    )
+                channels.append((cname, _EXR_PIXEL_DTYPES[ptype]))
+                cpos += 16
         pos += size
     pos += 1  # header terminator
-    pos += 8 * height  # offset table
-    out = np.empty((height, width, 3), np.float32)
-    for y in range(height):
-        _, nbytes = struct.unpack_from("<ii", data, pos)
+    if width is None or not channels:
+        raise ValueError(f"{path}: missing dataWindow/channels header")
+    if compression not in _EXR_BLOCK_LINES:
+        raise ValueError(
+            f"{path}: compression id {compression} unsupported "
+            "(only NONE/RLE/ZIPS/ZIP)"
+        )
+    lines_per_block = _EXR_BLOCK_LINES[compression]
+    n_blocks = (height + lines_per_block - 1) // lines_per_block
+    pos += 8 * n_blocks  # offset table (blocks follow sequentially)
+
+    bytes_per_line = width * sum(np.dtype(d).itemsize for _, d in channels)
+    planes = {
+        name: np.empty((height, width), np.float32) for name, _ in channels
+    }
+    for _ in range(n_blocks):
+        y_block, nbytes = struct.unpack_from("<ii", data, pos)
         pos += 8
-        row = np.frombuffer(data, np.float32, count=3 * width, offset=pos)
+        raw = data[pos : pos + nbytes]
         pos += nbytes
-        out[y, :, 2] = row[:width]
-        out[y, :, 1] = row[width : 2 * width]
-        out[y, :, 0] = row[2 * width :]
-    return out
+        n_lines = min(lines_per_block, height - (y_block - y0))
+        expected = bytes_per_line * n_lines
+        # OpenEXR stores a block raw whenever compression fails to shrink
+        # it — a full-size block is uncompressed regardless of the header.
+        if compression in (2, 3) and len(raw) < expected:  # ZIPS / ZIP
+            raw = zlib.decompress(raw)
+            if len(raw) != expected:
+                raise ValueError(f"{path}: corrupt ZIP scanline block")
+            raw = _exr_predictor_interleave(raw).tobytes()
+        elif compression == 1 and len(raw) < expected:  # RLE
+            raw = _exr_rle_decode(raw)
+            if len(raw) != expected:
+                raise ValueError(f"{path}: corrupt RLE scanline block")
+            raw = _exr_predictor_interleave(raw).tobytes()
+        off = 0
+        for line in range(n_lines):
+            y = y_block - y0 + line
+            if line_order == 1:  # DECREASING_Y
+                y = height - 1 - y
+            for cname, dtype in channels:
+                nb = width * np.dtype(dtype).itemsize
+                vals = np.frombuffer(raw, dtype, count=width, offset=off)
+                planes[cname][y] = vals.astype(np.float32)
+                off += nb
+    missing = [c for c in "RGB" if c not in planes]
+    if missing:
+        raise ValueError(f"{path}: missing color channels {missing}")
+    return np.stack([planes["R"], planes["G"], planes["B"]], axis=-1)
 
 
 def save_ppm(path: str, image_uint8: np.ndarray) -> None:

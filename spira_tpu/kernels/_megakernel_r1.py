@@ -75,167 +75,6 @@ def _select(m, a, b):
     return jnp.where(m, a, b)
 
 
-def init_hit_state(dx):
-    """Fresh nearest-hit registers for one wavefront intersection query."""
-    return dict(
-        best_t=jnp.full_like(dx, INF),
-        ncx=jnp.zeros_like(dx),
-        ncy=jnp.zeros_like(dx),
-        ncz=jnp.zeros_like(dx),
-        inv_r=jnp.zeros_like(dx),
-        m_ar=jnp.zeros_like(dx),
-        m_ag=jnp.zeros_like(dx),
-        m_ab=jnp.zeros_like(dx),
-        m_er=jnp.zeros_like(dx),
-        m_eg=jnp.zeros_like(dx),
-        m_eb=jnp.zeros_like(dx),
-        m_metal=jnp.zeros_like(dx),
-        m_rough=jnp.zeros_like(dx),
-        m_ior=jnp.ones_like(dx),
-        m_trans=jnp.zeros_like(dx),
-        hit_is_tri=jnp.zeros_like(dx, dtype=jnp.bool_),
-        tnx=jnp.zeros_like(dx),
-        tny=jnp.zeros_like(dx),
-        tnz=jnp.zeros_like(dx),
-    )
-
-
-def sphere_unroll(spheres, o3, d3, st):
-    """Static-unroll sphere intersection updating hit state ``st`` in place
-    (the dict is mutated and returned).  Same math as the reference quadratic
-    (`/root/reference/src/spira-metal-optimized.jl:700-799`)."""
-    ox, oy, oz = o3
-    dx, dy, dz = d3
-    best_t = st["best_t"]
-    for sph in spheres:
-        (cx, cy, cz, r, ar, ag, ab_, er, eg, eb, met, rough, ior,
-         trans) = sph[:14]
-        ocx = ox - cx
-        ocy = oy - cy
-        ocz = oz - cz
-        half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
-        c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
-        disc = half_b * half_b - c
-        # double-where: sqrt'(0)=inf would poison the backward pass
-        # through the masked-off branch (camera/geometry gradients)
-        disc_ok = disc > 0.0
-        sqrtd = jnp.where(
-            disc_ok, jnp.sqrt(jnp.where(disc_ok, disc, 1.0)), 0.0
-        )
-        root0 = -half_b - sqrtd
-        root1 = -half_b + sqrtd
-        root = _select(root0 > T_MIN, root0, root1)
-        hit_k = disc_ok & (root > T_MIN) & (root < best_t)
-        best_t = _select(hit_k, root, best_t)
-        st["ncx"] = _select(hit_k, cx, st["ncx"])
-        st["ncy"] = _select(hit_k, cy, st["ncy"])
-        st["ncz"] = _select(hit_k, cz, st["ncz"])
-        st["inv_r"] = _select(hit_k, 1.0 / r, st["inv_r"])
-        _select_mats(st, hit_k, (ar, ag, ab_, er, eg, eb, met, rough, ior,
-                                 trans))
-        st["hit_is_tri"] = st["hit_is_tri"] & ~hit_k
-    st["best_t"] = best_t
-    return st
-
-
-def tri_unroll(triangles, o3, d3, st):
-    """Static-unroll Möller–Trumbore over broadcast triangle scalars,
-    updating hit state ``st``."""
-    ox, oy, oz = o3
-    dx, dy, dz = d3
-    best_t = st["best_t"]
-    for tri in triangles:
-        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
-         nxc, nyc, nzc, ar, ag, ab_, er, eg, eb, met, rough, ior,
-         trans) = tri[:22]
-        # Möller–Trumbore on broadcast scalars
-        pvx = dy * e2z - dz * e2y
-        pvy = dz * e2x - dx * e2z
-        pvz = dx * e2y - dy * e2x
-        det = e1x * pvx + e1y * pvy + e1z * pvz
-        det_ok = jnp.abs(det) > 1e-12
-        inv_det = jnp.where(
-            det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
-        )
-        tvx = ox - v0x
-        tvy = oy - v0y
-        tvz = oz - v0z
-        uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-        qvx = tvy * e1z - tvz * e1y
-        qvy = tvz * e1x - tvx * e1z
-        qvz = tvx * e1y - tvy * e1x
-        vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-        hit_k = (
-            (jnp.abs(det) > 1e-9)
-            & (uu >= 0.0)
-            & (vv >= 0.0)
-            & (uu + vv <= 1.0)
-            & (tt > T_MIN)
-            & (tt < best_t)
-        )
-        best_t = _select(hit_k, tt, best_t)
-        st["tnx"] = _select(hit_k, nxc, st["tnx"])
-        st["tny"] = _select(hit_k, nyc, st["tny"])
-        st["tnz"] = _select(hit_k, nzc, st["tnz"])
-        st["hit_is_tri"] = st["hit_is_tri"] | hit_k
-        _select_mats(st, hit_k, (ar, ag, ab_, er, eg, eb, met, rough, ior,
-                                 trans))
-    st["best_t"] = best_t
-    return st
-
-
-_MAT_KEYS = ("m_ar", "m_ag", "m_ab", "m_er", "m_eg", "m_eb", "m_metal",
-             "m_rough", "m_ior", "m_trans")
-
-
-def _select_mats(st, mask, fields):
-    for key, val in zip(_MAT_KEYS, fields):
-        st[key] = _select(mask, val, st[key])
-
-
-def finish_intersect(o3, d3, st):
-    """Resolve hit state into ``(hit, p3, n3, mats10)``."""
-    ox, oy, oz = o3
-    dx, dy, dz = d3
-    best_t = st["best_t"]
-    hit = best_t < INF
-    # miss lanes carry best_t = INF; inf*0 in the untaken branch of a
-    # select still NaNs the backward pass — clamp to a safe value.
-    best_t = _select(hit, best_t, 1.0)
-    px = ox + best_t * dx
-    py = oy + best_t * dy
-    pz = oz + best_t * dz
-    nx = (px - st["ncx"]) * st["inv_r"]
-    ny = (py - st["ncy"]) * st["inv_r"]
-    nz = (pz - st["ncz"]) * st["inv_r"]
-    nx, ny, nz = _norm3(nx, ny, nz)
-    nx = _select(st["hit_is_tri"], st["tnx"], nx)
-    ny = _select(st["hit_is_tri"], st["tny"], ny)
-    nz = _select(st["hit_is_tri"], st["tnz"], nz)
-    mats = tuple(st[k] for k in _MAT_KEYS)
-    return hit, (px, py, pz), (nx, ny, nz), mats
-
-
-def make_brute_intersect(spheres, triangles=()):
-    """The fused engines' intersector: static unrolls over broadcast scalars.
-
-    Returns ``intersect(o3, d3, active) -> (hit, p3, n3, mats10)`` where p3
-    is the hit point (miss lanes clamped to t=1 so no inf propagates), n3
-    the unit geometric normal (miss lanes arbitrary — the caller masks), and
-    mats10 the per-lane material fields
-    (ar, ag, ab, er, eg, eb, metallic, roughness, ior, transmission).
-    """
-
-    def intersect(o3, d3, active=None):
-        st = init_hit_state(d3[0])
-        st = sphere_unroll(spheres, o3, d3, st)
-        st = tri_unroll(triangles, o3, d3, st)
-        return finish_intersect(o3, d3, st)
-
-    return intersect
-
-
 def trace_tile(
     pixel,
     row_f,
@@ -251,7 +90,6 @@ def trace_tile(
     dv: float,
     remat: bool = False,
     sample_offset=0,
-    intersect_fn=None,
 ):
     """Trace ``spp`` samples for a tile of pixels; returns summed (r, g, b).
 
@@ -261,14 +99,8 @@ def trace_tile(
     16-scalar tuples (packed by :func:`pack_scene`); triangles: list of
     24-scalar tuples (v0, e1, e2, unit normal, material fields) — both
     primitive loops are static unrolls over broadcast scalars.
-
-    ``intersect_fn`` (``(o3, d3, active) -> (hit, p3, n3, mats10)``)
-    overrides the nearest-hit query — the packet-BVH megakernel plugs its
-    traversal in here and shares the exact shading/scatter math below.
     """
     (ox0, oy0, oz0, llcx, llcy, llcz, hx, hy, hz, vx, vy, vz) = cam
-    if intersect_fn is None:
-        intersect_fn = make_brute_intersect(spheres, triangles)
 
     def stream_id(s, b, which):
         return (
@@ -301,11 +133,112 @@ def trace_tile(
         alive = jnp.ones_like(dx, dtype=jnp.bool_)
 
         for b in range(max_depth):
-            hit, (px, py, pz), (nx, ny, nz), mats = intersect_fn(
-                (ox, oy, oz), (dx, dy, dz), alive
-            )
-            (m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_metal, m_rough, m_ior,
-             m_trans) = mats
+            # ---- intersect all spheres (static unroll, broadcast scalars)
+            best_t = jnp.full_like(dx, INF)
+            ncx = jnp.zeros_like(dx)
+            ncy = jnp.zeros_like(dx)
+            ncz = jnp.zeros_like(dx)
+            inv_r = jnp.zeros_like(dx)
+            m_ar = jnp.zeros_like(dx)
+            m_ag = jnp.zeros_like(dx)
+            m_ab = jnp.zeros_like(dx)
+            m_er = jnp.zeros_like(dx)
+            m_eg = jnp.zeros_like(dx)
+            m_eb = jnp.zeros_like(dx)
+            m_metal = jnp.zeros_like(dx)
+            m_rough = jnp.zeros_like(dx)
+            m_ior = jnp.ones_like(dx)
+            m_trans = jnp.zeros_like(dx)
+            hit_is_tri = jnp.zeros_like(dx, dtype=jnp.bool_)
+            tnx = jnp.zeros_like(dx)
+            tny = jnp.zeros_like(dx)
+            tnz = jnp.zeros_like(dx)
+            for sph in spheres:
+                (cx, cy, cz, r, ar, ag, ab_, er, eg, eb, met, rough, ior,
+                 trans) = sph[:14]
+                ocx = ox - cx
+                ocy = oy - cy
+                ocz = oz - cz
+                half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
+                c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
+                disc = half_b * half_b - c
+                # double-where: sqrt'(0)=inf would poison the backward pass
+                # through the masked-off branch (camera/geometry gradients)
+                disc_ok = disc > 0.0
+                sqrtd = jnp.where(
+                    disc_ok, jnp.sqrt(jnp.where(disc_ok, disc, 1.0)), 0.0
+                )
+                root0 = -half_b - sqrtd
+                root1 = -half_b + sqrtd
+                root = _select(root0 > T_MIN, root0, root1)
+                hit_k = disc_ok & (root > T_MIN) & (root < best_t)
+                best_t = _select(hit_k, root, best_t)
+                ncx = _select(hit_k, cx, ncx)
+                ncy = _select(hit_k, cy, ncy)
+                ncz = _select(hit_k, cz, ncz)
+                inv_r = _select(hit_k, 1.0 / r, inv_r)
+                m_ar = _select(hit_k, ar, m_ar)
+                m_ag = _select(hit_k, ag, m_ag)
+                m_ab = _select(hit_k, ab_, m_ab)
+                m_er = _select(hit_k, er, m_er)
+                m_eg = _select(hit_k, eg, m_eg)
+                m_eb = _select(hit_k, eb, m_eb)
+                m_metal = _select(hit_k, met, m_metal)
+                m_rough = _select(hit_k, rough, m_rough)
+                m_ior = _select(hit_k, ior, m_ior)
+                m_trans = _select(hit_k, trans, m_trans)
+                hit_is_tri = hit_is_tri & ~hit_k
+
+            for tri in triangles:
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+                 nxc, nyc, nzc, ar, ag, ab_, er, eg, eb, met, rough, ior,
+                 trans) = tri[:22]
+                # Möller–Trumbore on broadcast scalars
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                det_ok = jnp.abs(det) > 1e-12
+                inv_det = jnp.where(
+                    det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
+                )
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                hit_k = (
+                    (jnp.abs(det) > 1e-9)
+                    & (uu >= 0.0)
+                    & (vv >= 0.0)
+                    & (uu + vv <= 1.0)
+                    & (tt > T_MIN)
+                    & (tt < best_t)
+                )
+                best_t = _select(hit_k, tt, best_t)
+                tnx = _select(hit_k, nxc, tnx)
+                tny = _select(hit_k, nyc, tny)
+                tnz = _select(hit_k, nzc, tnz)
+                hit_is_tri = hit_is_tri | hit_k
+                m_ar = _select(hit_k, ar, m_ar)
+                m_ag = _select(hit_k, ag, m_ag)
+                m_ab = _select(hit_k, ab_, m_ab)
+                m_er = _select(hit_k, er, m_er)
+                m_eg = _select(hit_k, eg, m_eg)
+                m_eb = _select(hit_k, eb, m_eb)
+                m_metal = _select(hit_k, met, m_metal)
+                m_rough = _select(hit_k, rough, m_rough)
+                m_ior = _select(hit_k, ior, m_ior)
+                m_trans = _select(hit_k, trans, m_trans)
+
+            hit = best_t < INF
+            # miss lanes carry best_t = INF; inf*0 in the untaken branch of a
+            # select still NaNs the backward pass — clamp to a safe value.
+            best_t = _select(hit, best_t, 1.0)
             # ---- miss: sky gradient (MSL kernel :196-199)
             t_sky = 0.5 * (dy + 1.0)
             miss = alive & ~hit
@@ -319,6 +252,17 @@ def trace_tile(
             lg += _select(live, tg * m_eg, 0.0)
             lb += _select(live, tb * m_eb, 0.0)
 
+            # ---- geometry at the hit
+            px = ox + best_t * dx
+            py = oy + best_t * dy
+            pz = oz + best_t * dz
+            nx = (px - ncx) * inv_r
+            ny = (py - ncy) * inv_r
+            nz = (pz - ncz) * inv_r
+            nx, ny, nz = _norm3(nx, ny, nz)
+            nx = _select(hit_is_tri, tnx, nx)
+            ny = _select(hit_is_tri, tny, ny)
+            nz = _select(hit_is_tri, tnz, nz)
             # Miss lanes would normalize a zero vector; chained rsqrt
             # backward factors then overflow to inf (NaN via inf·0).  Give
             # them a fixed unit normal instead — their output is masked.
@@ -464,11 +408,6 @@ def trace_tile(
     # Mosaic has no remat2 lowering, and the kernel is forward-only anyway.
     body = jax.checkpoint(sample_body) if remat else sample_body
 
-    if spp == 1:
-        # straight-line form: a trip-count-1 fori_loop still lowers as a
-        # scan, whose VJP carries extensive residuals Mosaic cannot lower —
-        # the grad megakernel differentiates this path per sample
-        return body(0, (zeros, zeros, zeros))
     return jax.lax.fori_loop(0, spp, body, (zeros, zeros, zeros))
 
 

@@ -53,9 +53,15 @@ def _grad_kernel(
 
     @pl.when((i == 0) & (j == 0))
     def _init():
-        loss_ref[:] = jnp.zeros_like(loss_ref)
-        dcam_ref[:] = jnp.zeros_like(dcam_ref)
-        dsph_ref[:] = jnp.zeros_like(dsph_ref)
+        # the grad tables live in SMEM (scalar stores to VMEM don't lower);
+        # zero them with unrolled scalar stores
+        zero = jnp.float32(0.0)
+        loss_ref[0, 0] = zero
+        for k in range(N_CAM_FIELDS):
+            dcam_ref[0, k] = zero
+        for k in range(MAX_SPHERES):
+            for f in range(N_SPH_FIELDS):
+                dsph_ref[k, f] = zero
 
     row = i * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
     col = j * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
@@ -72,6 +78,15 @@ def _grad_kernel(
         for k in range(n_spheres)
     )
     prims = (cam, spheres)
+    # Params lifted to (8, 128) tiles: the per-sample VJP then keeps every
+    # cotangent vector-valued — zero cross-lane reduces inside the sample
+    # loop (a scalar param's cotangent is a sum-reduce per sample per param;
+    # measured 5x slower).  One reduce per param per TILE at the end.
+    ones = jnp.ones_like(row_f)
+    prims_vec = (
+        tuple(c * ones for c in cam),
+        tuple(tuple(f * ones for f in sph) for sph in spheres),
+    )
 
     def fwd(p, sample_offset, nspp):
         c, s = p
@@ -100,10 +115,10 @@ def _grad_kernel(
     gg = two * resg * inv_npix * inv_spp
     gb = two * resb * inv_npix * inv_spp
 
-    # ---- phase 2: per-sample VJP replay, scalar grads in the loop carry
+    # ---- phase 2: per-sample VJP replay, vector grads in the loop carry
     def body(s, carry):
         gcam, gsph = carry
-        _, vjp_fn = jax.vjp(lambda p: fwd(p, s, 1), prims)
+        _, vjp_fn = jax.vjp(lambda p: fwd(p, s, 1), prims_vec)
         (dc, ds), = vjp_fn((gr, gg, gb))
         gcam = tuple(a + b for a, b in zip(gcam, dc))
         gsph = tuple(
@@ -112,7 +127,7 @@ def _grad_kernel(
         )
         return gcam, gsph
 
-    zero = jnp.float32(0.0)
+    zero = jnp.zeros_like(row_f)
     init = (
         tuple(zero for _ in range(N_CAM_FIELDS)),
         tuple(tuple(zero for _ in range(N_SPH_FIELDS))
@@ -121,10 +136,10 @@ def _grad_kernel(
     gcam, gsph = jax.lax.fori_loop(0, spp, body, init)
 
     for k in range(N_CAM_FIELDS):
-        dcam_ref[0, k] = dcam_ref[0, k] + gcam[k]
+        dcam_ref[0, k] = dcam_ref[0, k] + jnp.sum(gcam[k])
     for k in range(n_spheres):
         for f in range(N_SPH_FIELDS):
-            dsph_ref[k, f] = dsph_ref[k, f] + gsph[k][f]
+            dsph_ref[k, f] = dsph_ref[k, f] + jnp.sum(gsph[k][f])
 
 
 @functools.partial(
@@ -168,15 +183,20 @@ def _grad_launch(
         kernel,
         grid=(grid_h, grid_w),
         out_shape=(
-            jax.ShapeDtypeStruct((8, 128), jnp.float32),
-            jax.ShapeDtypeStruct((8, 16), jnp.float32),
-            jax.ShapeDtypeStruct((MAX_SPHERES, 16), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, N_CAM_FIELDS), jnp.float32),
+            jax.ShapeDtypeStruct((MAX_SPHERES, N_SPH_FIELDS), jnp.float32),
         ),
         in_specs=[smem, smem, smem, tile_block, tile_block, tile_block],
+        # grad tables are scalar-accumulated -> SMEM outputs (Mosaic does
+        # not lower scalar stores to VMEM); the constant index map keeps one
+        # block live across the sequential grid
         out_specs=(
-            pl.BlockSpec((8, 128), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, 16), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((MAX_SPHERES, 16), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, N_CAM_FIELDS), const, memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (MAX_SPHERES, N_SPH_FIELDS), const, memory_space=pltpu.SMEM
+            ),
         ),
         interpret=interpret,
     )(seed_arr, cam_arr, sph_arr, *planes)

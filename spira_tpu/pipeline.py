@@ -56,9 +56,16 @@ def _render_chunk(
     )
 
 
-def render_progressive(scene, camera, cfg: RenderConfig) -> np.ndarray:
+def render_progressive(scene, camera, cfg: RenderConfig, mesh=None) -> np.ndarray:
     """Render under ``cfg`` with progress reporting and optional
-    checkpointing; returns the (H, W, 3) HDR image."""
+    checkpointing; returns the (H, W, 3) HDR image.
+
+    With ``mesh`` (a ``jax.sharding.Mesh`` with tile/spp axes) each chunk
+    dispatches tile-sharded via
+    :func:`spira_tpu.parallel.sharded.render_chunk_sharded` — the BASELINE
+    config-5 shape (1920x1080 spp=256 over a chip mesh) where one program
+    per chunk keeps memory bounded and checkpoints stay sample-granular.
+    Chunk sizes must divide by the mesh's spp axis."""
     n = cfg.width * cfg.height
     acc = jnp.zeros((n, 3), jnp.float32)
     done = 0
@@ -85,18 +92,36 @@ def render_progressive(scene, camera, cfg: RenderConfig) -> np.ndarray:
     while done < cfg.spp:
         take = min(chunk, cfg.spp - done)
         # chunk sizes are static; at most two compilations (full + remainder)
-        acc = acc + _render_chunk(
-            scene,
-            camera,
-            jnp.int32(done),
-            width=cfg.width,
-            height=cfg.height,
-            n_samples=take,
-            max_depth=cfg.max_depth,
-            semantics=cfg.semantics,
-            spectral=cfg.spectral,
-            seed=cfg.seed,
-        )
+        if mesh is not None:
+            from .parallel.sharded import render_chunk_sharded
+
+            part = render_chunk_sharded(
+                scene,
+                camera,
+                done,
+                width=cfg.width,
+                height=cfg.height,
+                mesh=mesh,
+                n_samples=take,
+                max_depth=cfg.max_depth,
+                seed=cfg.seed,
+                semantics=cfg.semantics,
+                spectral=cfg.spectral,
+            )
+        else:
+            part = _render_chunk(
+                scene,
+                camera,
+                jnp.int32(done),
+                width=cfg.width,
+                height=cfg.height,
+                n_samples=take,
+                max_depth=cfg.max_depth,
+                semantics=cfg.semantics,
+                spectral=cfg.spectral,
+                seed=cfg.seed,
+            )
+        acc = acc + part
         acc.block_until_ready()
         done += take
         meter.update(done)
@@ -124,19 +149,25 @@ def run_config(cfg: RenderConfig) -> np.ndarray:
         mesh = make_mesh(n_tile=cfg.n_tile, n_spp=cfg.n_spp_axis)
         scene = replicate(scene, mesh)
         camera = replicate(camera, mesh)
-        flat = render_flat_sharded(
-            scene,
-            camera,
-            width=cfg.width,
-            height=cfg.height,
-            mesh=mesh,
-            spp=cfg.spp,
-            max_depth=cfg.max_depth,
-            seed=cfg.seed,
-            semantics=cfg.semantics,
-            spectral=cfg.spectral,
-        )
-        hdr = np.asarray(img_io.assemble_image(flat, cfg.width, cfg.height))
+        if cfg.checkpoint_every > 0 or cfg.checkpoint_dir:
+            # config-5 shape: spp-chunked + checkpointed, each chunk sharded
+            hdr = render_progressive(scene, camera, cfg, mesh=mesh)
+        else:
+            flat = render_flat_sharded(
+                scene,
+                camera,
+                width=cfg.width,
+                height=cfg.height,
+                mesh=mesh,
+                spp=cfg.spp,
+                max_depth=cfg.max_depth,
+                seed=cfg.seed,
+                semantics=cfg.semantics,
+                spectral=cfg.spectral,
+            )
+            hdr = np.asarray(
+                img_io.assemble_image(flat, cfg.width, cfg.height)
+            )
     else:
         hdr = render_progressive(scene, camera, cfg)
 

@@ -190,3 +190,66 @@ def test_stackless_two_level_with_redirects():
     assert_hits_match(
         intersect_bvh(bvh, tris, o, d), intersect_triangles(tris, o, d)
     )
+
+
+# ----------------------------------------------------------------------------
+# Mixed sphere+triangle BVH (typed prim ids — reference flat BVH v1,
+# /root/reference/examples/julia-raytracer-optimized.jl:1232-1324)
+# ----------------------------------------------------------------------------
+
+def random_spheres(n, seed, spread=4.0):
+    from spira_tpu.scene.geometry import make_spheres
+
+    rs = np.random.default_rng(seed)
+    recs = [
+        (tuple(rs.normal(size=3) * spread), abs(rs.normal()) * 0.8 + 0.2,
+         int(rs.integers(0, 7)))
+        for _ in range(n)
+    ]
+    return make_spheres(recs)
+
+
+@pytest.mark.parametrize(
+    "n_sph,n_tris,seed", [(1, 0, 5), (9, 0, 6), (5, 40, 7), (60, 200, 8)]
+)
+def test_mixed_traversal_matches_brute_force(n_sph, n_tris, seed):
+    from spira_tpu.accel.bvh import build_mixed_bvh
+    from spira_tpu.accel.traverse import intersect_bvh_mixed
+    from spira_tpu.integrator.intersect import (
+        intersect_spheres,
+        merge_hits,
+    )
+
+    spheres = random_spheres(n_sph, seed)
+    tris = random_soup(n_tris, seed + 50) if n_tris else None
+    bvh = build_mixed_bvh(spheres, tris)
+    o, d = random_rays(256, seed + 100)
+    mixed = intersect_bvh_mixed(bvh, spheres, tris, o, d)
+
+    brute = intersect_spheres(spheres, o, d)
+    if n_tris:
+        brute = merge_hits(brute, intersect_triangles(tris, o, d))
+    assert_hits_match(mixed, brute)
+    # normals agree too (sphere + triangle branches both resolve)
+    m = np.asarray(brute.hit)
+    np.testing.assert_allclose(
+        np.asarray(mixed.normal)[m], np.asarray(brute.normal)[m], atol=2e-3
+    )
+
+
+def test_mixed_bvh_through_intersect_scene():
+    """A scene whose bvh carries n_sph > 0 routes intersect_scene through
+    the single mixed traversal; image-level hits match the brute path."""
+    from spira_tpu.accel.bvh import build_mixed_bvh
+    from spira_tpu.integrator.intersect import intersect_scene
+    from spira_tpu.scene.scene import create_scene
+    from spira_tpu.core.types import replace
+
+    scene = create_scene()
+    mixed_scene = replace(
+        scene, bvh=build_mixed_bvh(scene.spheres, scene.triangles)
+    )
+    o, d = random_rays(512, 11)
+    a = intersect_scene(scene, o, d)
+    b = intersect_scene(mixed_scene, o, d)
+    assert_hits_match(b, a)

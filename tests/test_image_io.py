@@ -67,3 +67,132 @@ def test_ppm_write(tmp_path):
     raw = open(p, "rb").read()
     assert raw.startswith(b"P6\n2 2\n255\n")
     assert raw[-12:] == img.tobytes()
+
+
+# ----------------------------------------------------------------------------
+# External-EXR reading (half floats, ZIP/ZIPS/RLE, extra channels, line order)
+# ----------------------------------------------------------------------------
+
+def _write_external_exr(
+    path, hdr, *, dtype=np.float16, compression=3, channels="BGR",
+    line_order=0,
+):
+    """Hand-encode a scanline EXR the way external tools do (half pixels,
+    ZIP blocks, optional alpha) to exercise `load_exr` beyond `save_exr`'s
+    uncompressed-float32 subset."""
+    import struct
+    import zlib
+
+    h, w, _ = hdr.shape
+    ptype = {np.float16: 1, np.float32: 2, np.uint32: 0}[dtype]
+    names = sorted(channels)  # EXR stores channels alphabetically
+
+    def attr(name, typ, data):
+        return name + b"\x00" + typ + b"\x00" + struct.pack("<I", len(data)) + data
+
+    def channel(name):
+        return name.encode() + b"\x00" + struct.pack(
+            "<iBBBBii", ptype, 0, 0, 0, 0, 1, 1
+        )
+
+    chl = b"".join(channel(n) for n in names) + b"\x00"
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header = b"".join(
+        [
+            attr(b"channels", b"chlist", chl),
+            attr(b"compression", b"compression", bytes([compression])),
+            attr(b"dataWindow", b"box2i", box),
+            attr(b"displayWindow", b"box2i", box),
+            attr(b"lineOrder", b"lineOrder", bytes([line_order])),
+            attr(b"pixelAspectRatio", b"float", struct.pack("<f", 1.0)),
+            attr(b"screenWindowCenter", b"v2f", struct.pack("<ff", 0, 0)),
+            attr(b"screenWindowWidth", b"float", struct.pack("<f", 1.0)),
+            b"\x00",
+        ]
+    )
+
+    def plane(name, y):
+        if name == "A":
+            vals = np.full(w, 1.0)
+        else:
+            vals = hdr[y, :, "RGB".index(name)]
+        return vals.astype(dtype).tobytes()
+
+    lines_per = {0: 1, 1: 1, 2: 1, 3: 16}[compression]
+    blocks = []
+    for y0b in range(0, h, lines_per):
+        n_lines = min(lines_per, h - y0b)
+        raw = b"".join(
+            plane(n, y0b + ln) for ln in range(n_lines) for n in names
+        )
+        if compression in (2, 3):
+            arr = np.frombuffer(raw, np.uint8)
+            half = (arr.size + 1) // 2
+            inter = np.concatenate([arr[0::2], arr[1::2]])
+            d = inter.astype(np.int64)
+            d[1:] = (d[1:] - d[:-1] + 128) % 256
+            comp = zlib.compress(d.astype(np.uint8).tobytes())
+            raw = comp if len(comp) < len(raw) else raw
+        blocks.append((y0b, raw))
+
+    magic = struct.pack("<II", 20000630, 2)
+    offset_pos = len(magic) + len(header)
+    first = offset_pos + 8 * len(blocks)
+    offsets, pos = [], first
+    for _, raw in blocks:
+        offsets.append(struct.pack("<Q", pos))
+        pos += 8 + len(raw)
+    with open(path, "wb") as f:
+        f.write(magic)
+        f.write(header)
+        f.write(b"".join(offsets))
+        for y0b, raw in blocks:
+            f.write(struct.pack("<ii", y0b, len(raw)))
+            f.write(raw)
+
+
+def test_exr_half_zip(tmp_path):
+    """ZIP-compressed half-float EXR (the common external format)."""
+    rng = np.random.default_rng(5)
+    hdr = rng.uniform(0, 4, size=(37, 21, 3)).astype(np.float32)
+    p = str(tmp_path / "half_zip.exr")
+    _write_external_exr(p, hdr, dtype=np.float16, compression=3)
+    back = img_io.load_exr(p)
+    np.testing.assert_allclose(back, hdr.astype(np.float16), rtol=1e-3)
+
+
+def test_exr_half_zips_with_alpha(tmp_path):
+    """ZIPS (per-line) + an alpha channel that must be skipped."""
+    rng = np.random.default_rng(6)
+    hdr = rng.uniform(0, 4, size=(6, 10, 3)).astype(np.float32)
+    p = str(tmp_path / "rgba_zips.exr")
+    _write_external_exr(
+        p, hdr, dtype=np.float16, compression=2, channels="ABGR"
+    )
+    back = img_io.load_exr(p)
+    np.testing.assert_allclose(back, hdr.astype(np.float16), rtol=1e-3)
+
+
+def test_exr_float_zip(tmp_path):
+    rng = np.random.default_rng(7)
+    hdr = rng.uniform(0, 4, size=(20, 33, 3)).astype(np.float32)
+    p = str(tmp_path / "f32_zip.exr")
+    _write_external_exr(p, hdr, dtype=np.float32, compression=3)
+    back = img_io.load_exr(p)
+    np.testing.assert_array_equal(back, hdr)
+
+
+def test_exr_unsupported_compression_raises(tmp_path):
+    import pytest
+
+    rng = np.random.default_rng(8)
+    hdr = rng.uniform(0, 1, size=(4, 4, 3)).astype(np.float32)
+    p = str(tmp_path / "piz.exr")
+    _write_external_exr(p, hdr, dtype=np.float16, compression=1)  # valid RLE id...
+    # overwrite compression byte with PIZ (4) to simulate unsupported input
+    data = bytearray(open(p, "rb").read())
+    idx = data.index(b"compression\x00compression\x00")
+    data[idx + len(b"compression\x00compression\x00") + 4] = 4
+    open(p, "wb").write(bytes(data))
+    with pytest.raises(ValueError):
+        img_io.load_exr(p)

@@ -126,6 +126,60 @@ def test_run_config_sharded(tmp_path):
     assert img.shape == (16, 24, 3)
 
 
+def test_sharded_progressive_equals_one_shot():
+    """Sharded spp-chunked accumulation (the BASELINE config-5 driver shape)
+    must reproduce the one-program sharded render exactly — chunks are keyed
+    on absolute sample indices regardless of mesh shape."""
+    from spira_tpu.parallel.mesh import make_mesh, replicate
+    from spira_tpu.parallel.sharded import render_flat_sharded
+    from spira_tpu.io import image as img_io
+
+    cfg = tiny_cfg(spp=8, checkpoint_every=2, n_tile=4, n_spp_axis=2)
+    scene, cam = build_scene(cfg)
+    mesh = make_mesh(n_tile=4, n_spp=2)
+    scene = replicate(scene, mesh)
+    cam = replicate(cam, mesh)
+    chunked = render_progressive(scene, cam, cfg, mesh=mesh)
+    flat = render_flat_sharded(
+        scene, cam, width=cfg.width, height=cfg.height, mesh=mesh, spp=8,
+        max_depth=cfg.max_depth, seed=cfg.seed,
+    )
+    single = np.asarray(img_io.assemble_image(flat, cfg.width, cfg.height))
+    np.testing.assert_allclose(chunked, single, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_resume_mid_render(tmp_path):
+    """Kill-and-resume mid-render on the sharded chunked driver: a
+    checkpoint written after chunk 1 resumes to the same image a fresh
+    sharded progressive run produces."""
+    from spira_tpu.parallel.mesh import make_mesh, replicate
+    from spira_tpu.parallel.sharded import render_chunk_sharded
+
+    ckdir = str(tmp_path / "ck_sharded")
+    cfg = tiny_cfg(
+        spp=8, checkpoint_every=2, checkpoint_dir=ckdir, n_tile=4,
+        n_spp_axis=2,
+    )
+    scene, cam = build_scene(cfg)
+    mesh = make_mesh(n_tile=4, n_spp=2)
+    scene = replicate(scene, mesh)
+    cam = replicate(cam, mesh)
+
+    acc = render_chunk_sharded(
+        scene, cam, 0, width=cfg.width, height=cfg.height, mesh=mesh,
+        n_samples=2, max_depth=cfg.max_depth, seed=cfg.seed,
+    )
+    ckpt.save_render_state(
+        ckdir, accumulator=np.asarray(acc), samples_done=2, seed=cfg.seed,
+        config_json=cfg.to_json(),
+    )
+
+    resumed = render_progressive(scene, cam, cfg, mesh=mesh)
+    fresh_cfg = tiny_cfg(spp=8, checkpoint_every=2, n_tile=4, n_spp_axis=2)
+    fresh = render_progressive(scene, cam, fresh_cfg, mesh=mesh)
+    np.testing.assert_allclose(resumed, fresh, rtol=1e-5, atol=1e-6)
+
+
 def test_cli_render_and_info(tmp_path, capsys):
     from spira_tpu.cli import main
 
