@@ -46,7 +46,7 @@ N_CAM_FIELDS = 12
 def _grad_kernel(
     seed_ref, cam_ref, sph_ref, tr_ref, tg_ref, tb_ref,
     loss_ref, dcam_ref, dsph_ref,
-    *, spp, max_depth, width, height, n_spheres, inclusive_uv,
+    *, spp, grad_spp, max_depth, width, height, n_spheres, inclusive_uv,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -97,8 +97,9 @@ def _grad_kernel(
         )
 
     # ---- phase 1: full forward, masked MSE residual
+    # loss = mean over every (pixel, channel) element — jnp.mean semantics
     inv_spp = np.float32(1.0 / spp)
-    inv_npix = np.float32(1.0 / (width * height))
+    inv_nelem = np.float32(1.0 / (width * height * 3))
     sr, sg, sb = fwd(prims, 0, spp)
     maskf = ((row < height) & (col < width)).astype(jnp.float32)
     resr = (sr * inv_spp - tr_ref[:]) * maskf
@@ -106,14 +107,17 @@ def _grad_kernel(
     resb = (sb * inv_spp - tb_ref[:]) * maskf
     tile_loss = (
         jnp.sum(resr * resr) + jnp.sum(resg * resg) + jnp.sum(resb * resb)
-    ) * inv_npix
+    ) * inv_nelem
     loss_ref[0, 0] = loss_ref[0, 0] + tile_loss
 
-    # dL/d(per-sample radiance sum): shared by every sample (linear loss)
+    # dL/d(per-sample radiance sum): shared by every sample (linear loss).
+    # grad_spp < spp replays only the first grad_spp samples and rescales —
+    # an unbiased stochastic-gradient estimator (forward stays full-spp).
     two = np.float32(2.0)
-    gr = two * resr * inv_npix * inv_spp
-    gg = two * resg * inv_npix * inv_spp
-    gb = two * resb * inv_npix * inv_spp
+    scale = inv_nelem * inv_spp * np.float32(spp / grad_spp)
+    gr = two * resr * scale
+    gg = two * resg * scale
+    gb = two * resb * scale
 
     # ---- phase 2: per-sample VJP replay, vector grads in the loop carry
     def body(s, carry):
@@ -133,7 +137,7 @@ def _grad_kernel(
         tuple(tuple(zero for _ in range(N_SPH_FIELDS))
               for _ in range(n_spheres)),
     )
-    gcam, gsph = jax.lax.fori_loop(0, spp, body, init)
+    gcam, gsph = jax.lax.fori_loop(0, grad_spp, body, init)
 
     for k in range(N_CAM_FIELDS):
         dcam_ref[0, k] = dcam_ref[0, k] + jnp.sum(gcam[k])
@@ -145,13 +149,13 @@ def _grad_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "width", "height", "spp", "max_depth", "n_spheres", "inclusive_uv",
-        "interpret",
+        "width", "height", "spp", "grad_spp", "max_depth", "n_spheres",
+        "inclusive_uv", "interpret",
     ),
 )
 def _grad_launch(
-    seed_arr, scene, camera, target, *, width, height, spp, max_depth,
-    n_spheres, inclusive_uv, interpret,
+    seed_arr, scene, camera, target, *, width, height, spp, grad_spp,
+    max_depth, n_spheres, inclusive_uv, interpret,
 ):
     cam_arr = mk.pack_camera_jnp(camera)
     sph_arr = mk.pack_scene_jnp(scene)
@@ -171,8 +175,8 @@ def _grad_launch(
 
     kernel = functools.partial(
         _grad_kernel,
-        spp=spp, max_depth=max_depth, width=width, height=height,
-        n_spheres=n_spheres, inclusive_uv=inclusive_uv,
+        spp=spp, grad_spp=grad_spp, max_depth=max_depth, width=width,
+        height=height, n_spheres=n_spheres, inclusive_uv=inclusive_uv,
     )
     tile_block = pl.BlockSpec(
         (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
@@ -211,6 +215,7 @@ def render_mse_loss_and_grads(
     width: int,
     height: int,
     spp: int = 16,
+    grad_spp: int | None = None,
     max_depth: int = 4,
     seed: int = 0,
     inclusive_uv: bool = True,
@@ -243,6 +248,7 @@ def render_mse_loss_and_grads(
         width=width,
         height=height,
         spp=spp,
+        grad_spp=grad_spp if grad_spp is not None else spp,
         max_depth=max_depth,
         n_spheres=n_spheres,
         inclusive_uv=inclusive_uv,

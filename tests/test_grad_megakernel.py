@@ -36,7 +36,7 @@ def _fused_loss(scene, cam, target):
     img = render_flat_fused(
         scene, cam, width=W, height=H, spp=SPP, max_depth=DEPTH, seed=SEED
     )
-    return jnp.sum((img - target) ** 2) / jnp.float32(W * H)
+    return jnp.mean((img - target) ** 2)
 
 
 def test_pallas_grad_kernel_matches_fused_autodiff():
@@ -72,3 +72,29 @@ def test_pallas_grad_kernel_matches_fused_autodiff():
     # geometry gradients exist and are finite (sphere centers/radii)
     assert np.isfinite(np.asarray(d_scene.spheres.centers)).all()
     assert np.abs(np.asarray(d_scene.spheres.centers)).max() > 0
+
+
+def test_grad_spp_subsample_is_consistent():
+    """grad_spp=1 replays only sample 0 scaled by spp — an unbiased
+    stochastic estimator whose value must equal the sample-0 term of the
+    full gradient sum (loss itself is unchanged)."""
+    scene, cam, target = _setup()
+    loss_full, d_full, _ = render_mse_loss_and_grads(
+        scene, cam, target, width=W, height=H, spp=SPP, max_depth=DEPTH,
+        seed=SEED, interpret=True,
+    )
+    loss_sub, d_sub, _ = render_mse_loss_and_grads(
+        scene, cam, target, width=W, height=H, spp=SPP, grad_spp=1,
+        max_depth=DEPTH, seed=SEED, interpret=True,
+    )
+    np.testing.assert_allclose(float(loss_sub), float(loss_full), rtol=1e-6)
+    g_full = np.asarray(d_full.materials.albedo)
+    g_sub = np.asarray(d_sub.materials.albedo)
+    assert np.isfinite(g_sub).all()
+    # same order of magnitude and correlated sign with the full gradient
+    assert np.abs(g_sub).max() > 0
+    num = float((g_full * g_sub).sum())
+    den = float(
+        np.sqrt((g_full ** 2).sum()) * np.sqrt((g_sub ** 2).sum())
+    )
+    assert num / max(den, 1e-12) > 0.5
