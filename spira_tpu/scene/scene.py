@@ -39,13 +39,17 @@ class Scene:
     # (`spira_tpu.accel.pairs.PackedBVH`); attach with
     # `spira_tpu.accel.pairs.attach_packed`.
     packed: Optional[Any] = None
+    # 16-wide node tables (`spira_tpu.accel.wide.WideBVH`); attach with
+    # `spira_tpu.accel.wide.attach_wide`.
+    wide: Optional[Any] = None
 
     def with_bvh(self, bvh) -> "Scene":
         return replace(self, bvh=bvh)
 
 
 def make_scene(
-    spheres=None, triangles=None, materials=None, bvh=None, packed=None
+    spheres=None, triangles=None, materials=None, bvh=None, packed=None,
+    wide=None,
 ) -> Scene:
     return Scene(
         spheres=spheres if spheres is not None else empty_spheres(),
@@ -53,6 +57,7 @@ def make_scene(
         materials=materials,
         bvh=bvh,
         packed=packed,
+        wide=wide,
     )
 
 
