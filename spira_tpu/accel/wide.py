@@ -115,21 +115,51 @@ def pack_bvh16(bvh, tris) -> WideBVH:
         else:
             leafcount[i] = sum(leafcount[c] for c in kids(i))
 
-    # ---- collapse: BFS, one wide node per *retained* internal binary node
+    nodes, n_out = _collapse16(
+        node_min, node_max, kids, is_leaf == 1,
+        leaf_ptr=lambda i: leaf_row[int(i)],
+        leaf_cnt=lambda i: int(right[i]),
+        subtree_weight=leafcount,
+    )
+    padr = (-tri_rows.shape[0]) % 8
+    if padr:
+        tri_rows = np.concatenate(
+            [tri_rows, np.zeros((padr, 128), np.float32)]
+        )
+    return WideBVH(
+        nodes=jnp.asarray(nodes),
+        tri_rows=jnp.asarray(tri_rows),
+        root=0,
+        n_nodes=n_out,
+        n_rows=total_rows,
+        max_leaf=max_leaf,
+    )
+
+
+def _collapse16(
+    node_min, node_max, kids, is_cut, leaf_ptr, leaf_cnt, subtree_weight
+):
+    """Collapse the binary structure above a cut set into 16-wide rows.
+
+    ``is_cut``: bool per binary node — True makes it a leaf slot of the wide
+    tree (encoded ptr = ``leaf_ptr(i)``, cnt = ``leaf_cnt(i)``);
+    ``subtree_weight`` drives the smallest-subtree absorb heuristic.
+    Returns ``(nodes (N,128) float32 padded to 8 rows, n_nodes)``.
+    """
     rows_out: list[np.ndarray] = []
     wide_of = {}  # binary id -> wide row index
 
-    if bool(is_leaf[0] == 1):
-        # degenerate: single leaf — emit one wide node wrapping it
+    if bool(is_cut[0]):
+        # degenerate: the root is a leaf — emit one wide node wrapping it
         rec = np.zeros(WIDTH * SLOT, np.float32)
         for c in range(WIDTH):
-            rec[SLOT * c + 1 : SLOT * c + 3] = 1.0
+            rec[SLOT * c + 0 : SLOT * c + 3] = 1.0
             rec[SLOT * c + 3 : SLOT * c + 6] = -1.0
             rec[SLOT * c + 7] = -1.0
         rec[0:3] = node_min[0]
         rec[3:6] = node_max[0]
-        rec[6] = float(leaf_row[0] * 4)  # axis 0
-        rec[7] = float(right[0])
+        rec[6] = float(leaf_ptr(0) * 4)  # axis 0
+        rec[7] = float(leaf_cnt(0))
         rows_out.append(rec)
 
     # process in FIFO order; wide row indexes are assigned on first
@@ -137,7 +167,7 @@ def pack_bvh16(bvh, tris) -> WideBVH:
     # layout: the near-root rows share a VMEM neighborhood)
     wide_of[0] = 0
     head = 0
-    order: list[int] = [] if bool(is_leaf[0] == 1) else [0]
+    order: list[int] = [] if bool(is_cut[0]) else [0]
     recs: dict[int, np.ndarray] = {}
     while head < len(order):
         b = order[head]
@@ -151,12 +181,12 @@ def pack_bvh16(bvh, tris) -> WideBVH:
             cand = [
                 c
                 for c in children
-                if is_leaf[c] == 0
+                if not is_cut[c]
                 and len(children) - 1 + len(kids(c)) <= WIDTH
             ]
             if not cand:
                 break
-            x = min(cand, key=lambda c: int(leafcount[c]))
+            x = min(cand, key=lambda c: int(subtree_weight[c]))
             children.remove(x)
             children.extend(kids(x))
 
@@ -177,9 +207,9 @@ def pack_bvh16(bvh, tris) -> WideBVH:
             ch = children[c]
             rec[base + 0 : base + 3] = node_min[ch]
             rec[base + 3 : base + 6] = node_max[ch]
-            if is_leaf[ch] == 1:
-                rec[base + 6] = float(leaf_row[int(ch)])
-                rec[base + 7] = float(right[ch])
+            if is_cut[ch]:
+                rec[base + 6] = float(leaf_ptr(ch))
+                rec[base + 7] = float(leaf_cnt(ch))
             else:
                 if ch not in wide_of:
                     wide_of[ch] = len(order)
@@ -198,19 +228,7 @@ def pack_bvh16(bvh, tris) -> WideBVH:
     pad = (-nodes.shape[0]) % 8
     if pad:
         nodes = np.concatenate([nodes, np.zeros((pad, 128), np.float32)])
-    padr = (-tri_rows.shape[0]) % 8
-    if padr:
-        tri_rows = np.concatenate(
-            [tri_rows, np.zeros((padr, 128), np.float32)]
-        )
-    return WideBVH(
-        nodes=jnp.asarray(nodes),
-        tri_rows=jnp.asarray(tri_rows),
-        root=0,
-        n_nodes=len(rows_out),
-        n_rows=total_rows,
-        max_leaf=max_leaf,
-    )
+    return nodes, len(rows_out)
 
 
 def attach_wide(scene):

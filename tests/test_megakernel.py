@@ -215,7 +215,8 @@ def test_engine_dispatch():
     # CPU backend in tests → fused (not pallas)
     assert select_engine(sphere_scene, "physical", False) == "fused"
     assert select_engine(sphere_scene, "reference", False) == "wavefront"
-    assert select_engine(sphere_scene, "physical", True) == "wavefront"
+    # spectral spheres route to the fused Chebyshev tracer since round 2
+    assert select_engine(sphere_scene, "physical", True) == "fused"
     assert select_engine(mesh_scene, "physical", False) == "wavefront"
     assert select_engine(sphere_scene, "physical", False, "pallas") == "pallas"
 
