@@ -190,11 +190,17 @@ def _collapse16(
             children.remove(x)
             children.extend(kids(x))
 
-        # sort along the axis of largest centroid spread
+        # sort along the axis of largest centroid spread, then stable-
+        # partition leaf slots first: the kernel batch-processes leaf slots
+        # 0..L-1 and the push loop skips them by cnt anyway, so internal
+        # ordered-descent order is preserved
         cents = 0.5 * (node_min[children] + node_max[children])
         spread = cents.max(axis=0) - cents.min(axis=0)
         axis = int(np.argmax(spread))
         children = [children[k] for k in np.argsort(cents[:, axis])]
+        children = [c for c in children if is_cut[c]] + [
+            c for c in children if not is_cut[c]
+        ]
 
         rec = np.zeros(WIDTH * SLOT, np.float32)
         for c in range(WIDTH):

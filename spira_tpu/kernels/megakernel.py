@@ -845,3 +845,78 @@ def _crop_flat(r, g, b, width, height):
         [r[:height, :width], g[:height, :width], b[:height, :width]], axis=-1
     )
     return jnp.reshape(img, (height * width, 3))
+
+
+# ----------------------------------------------------------------------------
+# Hybrid differentiable render: Pallas forward, fused-XLA backward
+# ----------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=None)
+def _hybrid_vjp_fn(width, height, spp, grad_spp, max_depth, inclusive_uv,
+                   use_pallas_fwd):
+    """custom_vjp closure over the static render config (cached per config).
+
+    Forward runs the Pallas megakernel (fused-XLA on non-TPU backends);
+    backward replays the *fused-XLA twin* — the ULP-identical tracer — via
+    its VJP at ``grad_spp`` samples.  Because every sample is an identically
+    distributed estimator of the pixel radiance, the ``grad_spp``-sample
+    mean's VJP is an unbiased estimator of the full-``spp`` gradient
+    (stochastic-gradient subsampling; ``grad_spp == spp`` reproduces the
+    exact fused gradient, which is what the FD tests pin down).
+    """
+    kw = dict(width=width, height=height, max_depth=max_depth,
+              inclusive_uv=inclusive_uv)
+
+    @jax.custom_vjp
+    def f(scene, camera, seed):
+        render = (
+            render_flat_megakernel if use_pallas_fwd else render_flat_fused
+        )
+        return render(scene, camera, spp=spp, seed=seed, **kw)
+
+    def fwd(scene, camera, seed):
+        return f(scene, camera, seed), (scene, camera, seed)
+
+    def bwd(res, g):
+        scene, camera, seed = res
+
+        def replay(sc, cam):
+            return render_flat_fused(sc, cam, spp=grad_spp, seed=seed, **kw)
+
+        _, vjp = jax.vjp(replay, scene, camera)
+        d_scene, d_camera = vjp(g)
+        return d_scene, d_camera, np.zeros((), jax.dtypes.float0)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def render_flat_hybrid_grad(
+    scene,
+    camera,
+    *,
+    width: int,
+    height: int,
+    spp: int = 16,
+    max_depth: int = 4,
+    seed: int = 0,
+    grad_spp: int | None = None,
+    inclusive_uv: bool = True,
+):
+    """Differentiable flat render at Pallas-forward speed.
+
+    Forward: the Pallas megakernel (the fastest engine).  Backward:
+    path-replay through the fused-XLA twin's VJP over ``grad_spp`` samples
+    (default: all ``spp``).  With ``grad_spp < spp`` the gradient is the
+    standard stochastic-subsampled estimator — unbiased, ~spp/grad_spp less
+    backward work — while the forward image/loss stays exact full-spp.
+    This is the BASELINE "forward+backward at speed-of-light per chip"
+    configuration (see bench.py).
+    """
+    f = _hybrid_vjp_fn(
+        width, height, spp,
+        grad_spp if grad_spp is not None else spp,
+        max_depth, inclusive_uv,
+        jax.default_backend() == "tpu",
+    )
+    return f(scene, camera, jnp.int32(seed))

@@ -98,3 +98,62 @@ def test_grad_spp_subsample_is_consistent():
         np.sqrt((g_full ** 2).sum()) * np.sqrt((g_sub ** 2).sum())
     )
     assert num / max(den, 1e-12) > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Hybrid differentiable render (Pallas fwd / fused-XLA bwd via custom_vjp)
+# ---------------------------------------------------------------------------
+
+def test_hybrid_grad_matches_fused_at_full_replay():
+    from spira_tpu.kernels.megakernel import render_flat_hybrid_grad
+
+    scene, cam, target = _setup()
+
+    def loss_h(materials):
+        img = render_flat_hybrid_grad(
+            replace(scene, materials=materials), cam, width=W, height=H,
+            spp=SPP, max_depth=DEPTH, seed=SEED,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    lh, gh = jax.value_and_grad(loss_h)(scene.materials)
+    lf, gf = jax.value_and_grad(
+        lambda m: _fused_loss(replace(scene, materials=m), cam, target)
+    )(scene.materials)
+    # grad_spp defaults to spp: the backward replays the identical fused
+    # estimator, so loss AND gradients match to float tolerance
+    assert np.isclose(float(lh), float(lf), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(gh.albedo), np.asarray(gf.albedo), rtol=1e-5, atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(gh.emission), np.asarray(gf.emission), rtol=1e-5,
+        atol=1e-8,
+    )
+
+
+def test_hybrid_grad_subsampled_unbiased_direction():
+    from spira_tpu.kernels.megakernel import render_flat_hybrid_grad
+
+    scene, cam, target = _setup()
+
+    def loss_h(materials, grad_spp):
+        img = render_flat_hybrid_grad(
+            replace(scene, materials=materials), cam, width=W, height=H,
+            spp=SPP, max_depth=DEPTH, seed=SEED, grad_spp=grad_spp,
+        )
+        return jnp.mean((img - target) ** 2)
+
+    # loss is the exact full-spp value regardless of grad_spp
+    l_sub, g_sub = jax.value_and_grad(lambda m: loss_h(m, 1))(
+        scene.materials
+    )
+    l_full, g_full = jax.value_and_grad(lambda m: loss_h(m, SPP))(
+        scene.materials
+    )
+    assert np.isclose(float(l_sub), float(l_full), rtol=1e-6)
+    # the 1-sample stochastic gradient still points the same way
+    a = np.asarray(g_sub.albedo).ravel()
+    b = np.asarray(g_full.albedo).ravel()
+    cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12)
+    assert cos > 0.7, f"subsampled gradient diverged: cos={cos:.3f}"
