@@ -61,20 +61,31 @@ def main() -> None:
     )
 
     # Headline: full differentiable step — forward render + MSE loss +
-    # gradients w.r.t. all camera/sphere/material fields — on the Pallas
-    # fwd+bwd megakernel (kernels/grad_megakernel.py, one dispatch).
-    # Fallback: fused-XLA value_and_grad (identical estimator).
-    headline_engine = "pallas fwd+bwd megakernel"
+    # gradients w.r.t. all material fields — on the hybrid engine:
+    # Pallas-megakernel forward, fused-XLA backward replay at grad_spp=4
+    # (kernels/megakernel.py:render_flat_hybrid_grad; loss is exact
+    # full-spp, the gradient the standard unbiased subsampled estimator).
+    # Fallback: fused-XLA value_and_grad (identical estimator family).
+    headline_engine = "hybrid pallas-fwd/fused-bwd (grad_spp=4)"
     try:
-        from spira_tpu.kernels.grad_megakernel import render_mse_loss_and_grads
+        from spira_tpu.kernels.megakernel import render_flat_hybrid_grad
+
+        @jax.jit
+        def train_step(materials, seed):
+            def loss_fn(materials):
+                img = render_flat_hybrid_grad(
+                    replace(scene, materials=materials), camera, **kw,
+                    seed=seed, grad_spp=4,
+                )
+                return jnp.mean((img - target) ** 2)
+
+            return jax.value_and_grad(loss_fn)(materials)
 
         def step(seed):
-            return render_mse_loss_and_grads(
-                scene, camera, target, **kw, seed=seed
-            )
+            return train_step(scene.materials, jnp.int32(seed))
 
         dt_bwd = _time(lambda i: step(i), 20)
-        loss, _, _ = step(0)
+        loss, _ = step(0)
     except Exception as e:  # pragma: no cover - TPU-env guard
         print(f"pallas grad kernel unavailable ({e!r}); "
               "falling back to fused-XLA", file=sys.stderr)
@@ -111,7 +122,7 @@ def main() -> None:
     print(
         f"fwd fused-xla: {rays / dt_fused / 1e6:.0f} Mrays/s ({dt_fused * 1e3:.2f} ms); "
         f"fwd wavefront: {rays / dt_wave / 1e6:.1f} Mrays/s ({dt_wave * 1e3:.1f} ms); "
-        f"fwd+bwd fused: {rays_per_sec / 1e6:.0f} Mrays/s ({dt_bwd * 1e3:.2f} ms); "
+        f"fwd+bwd headline: {rays_per_sec / 1e6:.0f} Mrays/s ({dt_bwd * 1e3:.2f} ms); "
         f"inverse iters/sec: {1.0 / dt_bwd:.2f}",
         file=sys.stderr,
     )
