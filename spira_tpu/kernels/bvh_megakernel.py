@@ -4,11 +4,11 @@ The TPU answer to the reference's in-kernel BVH megakernel
 (`trace_ray_gpu` + `hit_bvh` stack traversal,
 `/root/reference/examples/julia-raytracer-optimized.jl:1710-1830`): where a
 Metal thread owns one ray and walks the tree with a private `uint stack[64]`,
-a TPU program owns an (8, 128) *tile* of rays that walk the tree TOGETHER —
-classic packet tracing (Wald et al. 2001) reshaped for a 128-lane vector
-machine:
+a TPU program owns a (tile_h, 128) *tile* of rays that walk the tree
+TOGETHER — classic packet tracing (Wald et al. 2001) reshaped for a 128-lane
+vector machine:
 
-* ONE scalar traversal stack in SMEM drives the walk for all 1024 rays;
+* ONE scalar traversal stack in SMEM drives the walk for the whole packet;
 * every box test / triangle test is a full-tile VPU op against *broadcast*
   scalars — there are **zero per-lane gathers** (the op the round-1 cost
   model measured at ~100x slow inside XLA loop bodies);
@@ -22,9 +22,13 @@ Traversal order (measured on v5e — see docs/ARCHITECTURE.md cost model):
   children's boxes; both slab tests are VPU ops, and their two any-lane
   bits come out of ONE cross-lane sum — per-lane ``hit0*1 + hit1*2048``
   summed over 1024 lanes packs both hit counts exactly into a float32
-  (max 1024 + 1024*2048 < 2^24), decoded with scalar floor/subtract.
-  Cross-lane reduces are the dominant per-visit cost, so this halves it
-  vs reducing each child separately.
+  (max 1024 + 1024*2048 < 2^24), decoded with scalar floor/subtract;
+  packets taller than 2048 lanes switch to an exact int32 sum.
+  The reduce's vector→scalar round trip is the dominant per-pop cost —
+  it stalls the scalar unit that feeds the next pop — which is why
+* **tall packets win**: (32, 128) tiles amortize that round trip over
+  4096 rays; measured 640×360 spp16 d4 on v5e: 25→61 Mrays/s on a
+  1.6k-tri mesh, 13→16 Mrays/s on the 73k-tri bunny tier vs (8, 128).
 * **sphere-first seeding**: the static sphere unroll runs before traversal
   and seeds ``best_t``, so ground/light hits cull mesh subtrees behind
   them;
@@ -66,17 +70,17 @@ N_MAT_FIELDS = 10  # ar ag ab er eg eb metallic roughness ior transmission
 _PLANE = np.float32(2048.0)
 
 
-def traversal_scratch_shapes():
+def traversal_scratch_shapes(tile_h: int = TILE_H):
     """Scratch buffers the packet traversal needs (see `make_packet_intersect`
     argument order): the scalar pair-row stack and the per-lane hit
     registers."""
     return [
         pltpu.SMEM((STACK_SIZE,), jnp.int32),       # pair-row stack
-        pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # best_t
-        pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # tnx
-        pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # tny
-        pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # tnz
-        pltpu.VMEM((TILE_H, TILE_W), jnp.float32),  # mat id
+        pltpu.VMEM((tile_h, TILE_W), jnp.float32),  # best_t
+        pltpu.VMEM((tile_h, TILE_W), jnp.float32),  # tnx
+        pltpu.VMEM((tile_h, TILE_W), jnp.float32),  # tny
+        pltpu.VMEM((tile_h, TILE_W), jnp.float32),  # tnz
+        pltpu.VMEM((tile_h, TILE_W), jnp.float32),  # mat id
     ]
 
 
@@ -102,12 +106,14 @@ def make_packet_intersect(
     megakernel); ``mats``: list of 10-scalar material tuples indexed by the
     per-triangle material id selected during traversal.
     """
-    inv_n = np.float32(1.0 / (TILE_H * TILE_W))
-    inv_plane = np.float32(1.0 / float(_PLANE))
-
     def intersect(o3, d3, active):
         ox, oy, oz = o3
         dx, dy, dz = d3
+        n_lanes = int(np.prod(dx.shape))
+        inv_n = np.float32(1.0 / n_lanes)
+        # the packed two-child any-hit reduce is exact in float32 only while
+        # count0 + count1 * PLANE < 2^24; taller packets use an int32 sum
+        use_int_reduce = n_lanes > int(_PLANE)
 
         # ---- spheres first: their hits seed best_t and cull mesh subtrees
         st = mk.init_hit_state(dx)
@@ -184,14 +190,23 @@ def make_packet_intersect(
                 )
 
             # ONE cross-lane reduce decodes both children's any-hit bits
-            packed = (
-                hits[0].astype(jnp.float32) + hits[1].astype(jnp.float32)
-                * _PLANE
-            ) * activef
-            s = jnp.sum(packed)
-            c1 = jnp.floor(s * inv_plane)
-            any1 = c1 > 0.5
-            any0 = (s - c1 * _PLANE) > 0.5
+            if use_int_reduce:
+                packed_i = (
+                    hits[0].astype(jnp.int32)
+                    + (hits[1].astype(jnp.int32) << 16)
+                ) * active.astype(jnp.int32)
+                si = jnp.sum(packed_i)
+                any1 = (si >> 16) > 0
+                any0 = (si & 0xFFFF) > 0
+            else:
+                packed = (
+                    hits[0].astype(jnp.float32)
+                    + hits[1].astype(jnp.float32) * _PLANE
+                ) * activef
+                s = jnp.sum(packed)
+                c1 = jnp.floor(s * np.float32(1.0 / float(_PLANE)))
+                any1 = c1 > 0.5
+                any0 = (s - c1 * _PLANE) > 0.5
 
             anyhits = (any0, any1)
             for half in (0, 1):
@@ -306,12 +321,12 @@ def _kernel(
     out_r, out_g, out_b,
     stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
     *, spp, max_depth, width, height, n_spheres, n_mats, root,
-    rows_per_leaf, max_leaf, inclusive_uv,
+    rows_per_leaf, max_leaf, inclusive_uv, tile_h,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    row = i * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
-    col = j * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
+    row = i * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0)
+    col = j * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1)
     cam = tuple(cam_ref[0, k] for k in range(12))
     spheres = [
         tuple(sph_ref[k, f] for f in range(14)) for k in range(n_spheres)
@@ -370,15 +385,15 @@ def _intersect_only_kernel(
     out_mid[:] = mid_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _intersect_tile_launch(packed, origins, dirs, interpret):
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
+def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H):
     n_rows = origins.shape[0] // TILE_W
     comps = [
         origins[:, 0], origins[:, 1], origins[:, 2],
         dirs[:, 0], dirs[:, 1], dirs[:, 2],
     ]
     comps = [c.reshape(n_rows, TILE_W) for c in comps]
-    grid = (pl.cdiv(n_rows, TILE_H),)
+    grid = (pl.cdiv(n_rows, tile_h),)
     kernel = functools.partial(
         _intersect_only_kernel,
         root=packed.root,
@@ -386,7 +401,7 @@ def _intersect_tile_launch(packed, origins, dirs, interpret):
         max_leaf=packed.max_leaf,
     )
     block = pl.BlockSpec(
-        (TILE_H, TILE_W), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (tile_h, TILE_W), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     out_shape = jax.ShapeDtypeStruct((n_rows, TILE_W), jnp.float32)
     outs = pl.pallas_call(
@@ -404,7 +419,7 @@ def _intersect_tile_launch(packed, origins, dirs, interpret):
             ),
         ],
         out_specs=(block,) * 5,
-        scratch_shapes=traversal_scratch_shapes(),
+        scratch_shapes=traversal_scratch_shapes(tile_h),
         interpret=interpret,
     )(*comps, packed.pairs, packed.tri_rows)
     return [o.reshape(-1) for o in outs]
@@ -446,12 +461,12 @@ def pack_materials_jnp(materials):
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_depth", "n_spheres", "n_mats",
-        "inclusive_uv", "interpret",
+        "inclusive_uv", "interpret", "tile_h",
     ),
 )
 def _launch(
     seed_arr, scene, camera, *, width, height, spp, max_depth,
-    n_spheres, n_mats, inclusive_uv, interpret,
+    n_spheres, n_mats, inclusive_uv, interpret, tile_h=TILE_H,
 ):
     packed = scene.packed
     # meta fields of the PackedBVH pytree are concrete (part of the jit key)
@@ -469,9 +484,9 @@ def _launch(
     pairs = packed.pairs
     tri_rows = packed.tri_rows
 
-    grid_h = pl.cdiv(height, TILE_H)
+    grid_h = pl.cdiv(height, tile_h)
     grid_w = pl.cdiv(width, TILE_W)
-    h_pad = grid_h * TILE_H
+    h_pad = grid_h * tile_h
     w_pad = grid_w * TILE_W
 
     kernel = functools.partial(
@@ -479,11 +494,11 @@ def _launch(
         spp=spp, max_depth=max_depth, width=width, height=height,
         n_spheres=n_spheres, n_mats=n_mats, root=root,
         rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
-        inclusive_uv=inclusive_uv,
+        inclusive_uv=inclusive_uv, tile_h=tile_h,
     )
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     block = pl.BlockSpec(
-        (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        (tile_h, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
     # physical VMEM: lane dims pad to 128 — (P,16) costs P*128 floats
     table_bytes = (pairs.shape[0] + tri_rows.shape[0]) * 128 * 4
@@ -508,7 +523,7 @@ def _launch(
             ),
         ],
         out_specs=(block, block, block),
-        scratch_shapes=traversal_scratch_shapes(),
+        scratch_shapes=traversal_scratch_shapes(tile_h),
         compiler_params=params,
         interpret=interpret,
     )(seed_arr, cam_arr, mat_arr, sph_arr, pairs, tri_rows)
@@ -525,12 +540,18 @@ def render_flat_bvh_megakernel(
     seed: int = 0,
     inclusive_uv: bool = True,
     interpret: bool = False,
+    tile_h: int = 32,
 ):
     """Pallas packet-BVH render → flat (H*W, 3) bottom-up HDR buffer.
 
     Requires ``scene.packed`` (see :func:`spira_tpu.accel.pairs.pack_bvh` /
     ``attach_packed``).  Same estimator family and PCG RNG stream as the
     sphere megakernel — a mesh-free scene renders bit-identically on either.
+
+    ``tile_h``: packet height — (tile_h, 128) pixels traverse together.
+    Taller packets amortize the per-pop vector→scalar round trip (the
+    measured bottleneck) over more rays at slightly worse cull rates;
+    32 measured fastest on v5e for both 1.6k- and 73k-triangle scenes.
     """
     if scene.packed is None:
         raise ValueError(
@@ -548,5 +569,6 @@ def render_flat_bvh_megakernel(
         n_mats=scene.materials.count,
         inclusive_uv=inclusive_uv,
         interpret=interpret,
+        tile_h=tile_h,
     )
     return mk._crop_flat(r, g, b, width, height)

@@ -145,6 +145,9 @@ def select_engine(
     * ``pallas``     — fused Pallas megakernel (TPU; small scenes, physical)
     * ``pallas_bvh`` — packet-traversal BVH megakernel (TPU; mesh scenes
       with packed pair tables, physical)
+    * ``pallas_mxu`` — streaming superleaf MXU megakernel (explicit only,
+      never auto-selected: the packet kernel prunes better at every
+      measured mesh size — see kernels/mxu_megakernel.py)
     * ``fused``      — same fused tracer as one XLA computation (any backend)
     * ``wavefront``  — the general masked-scan estimator (triangles/BVH,
       spectral transport, reference semantics, thin-lens cameras, gradients
@@ -192,6 +195,17 @@ def render_flat_engine(
         from .kernels.bvh_megakernel import render_flat_bvh_megakernel
 
         return render_flat_bvh_megakernel(
+            scene, camera, width=width, height=height, spp=spp,
+            max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
+        )
+    if engine == "pallas_mxu":
+        from .accel.mxu import attach_mxu
+        from .kernels.mxu_megakernel import render_flat_mxu_megakernel
+
+        if scene.wide is None or not hasattr(scene.wide, "coeff_uv"):
+            # host-side packing; attach once outside render loops
+            scene = attach_mxu(scene)
+        return render_flat_mxu_megakernel(
             scene, camera, width=width, height=height, spp=spp,
             max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
         )

@@ -176,3 +176,22 @@ def test_bvh_megakernel_mesh_scene_smoke():
     assert np.isfinite(img).all()
     assert img.std() > 1e-3
     assert img.max() > 0.1
+
+
+def test_packet_kernel_tile_h_invariant():
+    """Packet height is a pure blocking choice: images are BIT-identical at
+    tile_h 8/16/32 (pixel ids and PCG streams depend only on absolute
+    row/col).  tile_h=32 also exercises the int32 any-hit reduce (4096
+    lanes overflow the float bit-plane trick)."""
+    scene = create_mesh_scene(subdivisions=2)
+    scene = attach_packed(scene)
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=128.0 / 48.0)
+    kw = dict(width=128, height=48, spp=1, max_depth=2, seed=5,
+              interpret=True)
+    base = np.asarray(render_flat_bvh_megakernel(scene, cam, tile_h=8, **kw))
+    for th in (16, 32):
+        img = np.asarray(
+            render_flat_bvh_megakernel(scene, cam, tile_h=th, **kw)
+        )
+        np.testing.assert_array_equal(base, img)
