@@ -62,12 +62,20 @@ TILE_H = mk.TILE_H
 TILE_W = mk.TILE_W
 INF = mk.INF
 T_MIN = mk.T_MIN
-STACK_SIZE = 96  # only internal children are pushed; builder caps depth at 62
+STACK_SIZE = 256  # internal children only; headroom for batched pops (K<=8)
 _DISCARD = STACK_SIZE - 1  # masked pushes land here and are never read
 N_MAT_FIELDS = 10  # ar ag ab er eg eb metallic roughness ior transmission
 #: bit-plane multiplier for the combined two-child hit-count reduce:
 #: sum(hit0 + hit1*2048) <= 1024 + 1024*2048 < 2^24 — exact in float32.
 _PLANE = np.float32(2048.0)
+
+
+def _with_dummy_row(pairs):
+    """Append one all-empty pair record (cnt == -1 both halves): the row
+    under-full pop batches read — its children never hit, leaf, or push."""
+    return jnp.concatenate(
+        [pairs, jnp.full((1, pairs.shape[1]), -1.0, pairs.dtype)], axis=0
+    )
 
 
 def traversal_scratch_shapes(tile_h: int = TILE_H):
@@ -99,13 +107,27 @@ def make_packet_intersect(
     root: int,
     rows_per_leaf: int,
     max_leaf: int,
+    pops_per_iter: int = 1,
+    dummy_row: int | None = None,
 ):
     """Build the ``intersect_fn`` plugged into ``trace_tile``.
 
     ``spheres``: list of 14-scalar tuples (static unroll, as in the sphere
     megakernel); ``mats``: list of 10-scalar material tuples indexed by the
     per-triangle material id selected during traversal.
+
+    ``pops_per_iter``: pair records popped per while-loop iteration, paying
+    the vector→scalar any-hit readback once for 2K children (one bitmask
+    OR-tree + a single extract).  Requires ``dummy_row`` — the index of an
+    all-empty (cnt == -1) pair record that under-full batches read
+    harmlessly.  Measured on v5e at tile_h=32: neutral (±6%) on shallow
+    trees where tall packets already amortize the readback, +9-17% on deep
+    ones (5.4k-73k tris) — ``render_flat_bvh_megakernel`` auto-selects by
+    tree size.
     """
+    K = pops_per_iter
+    if K > 1 and dummy_row is None:
+        raise ValueError("pops_per_iter > 1 requires a dummy_row")
     def intersect(o3, d3, active):
         ox, oy, oz = o3
         dx, dy, dz = d3
@@ -147,69 +169,96 @@ def make_packet_intersect(
             return sp > 0
 
         def body(sp):
-            sp = sp - 1
-            p = stack_ref[sp]
-            rec = pairs_ref[pl.ds(p, 1), :]  # (1, 16) both children
+            # pop up to K records; under-full batches read the dummy
+            # (all-empty) record whose children can never hit or push
+            ps = []
+            for i in range(K):
+                if K == 1:
+                    ps.append(stack_ref[sp - 1])
+                else:
+                    valid = (sp - 1 - i) >= 0
+                    idx = jnp.maximum(sp - 1 - i, 0)
+                    ps.append(
+                        jnp.where(valid, stack_ref[idx], np.int32(dummy_row))
+                    )
+            sp = jnp.maximum(sp - K, 0)
             best = bt_ref[:]
 
-            # both children's slab tests as straight-line VPU code
+            # all 2K children's slab tests as straight-line VPU code
             hits = []
             ents = []
             prjs = []
-            for half in (0, 1):
-                b = 8 * half
-                lox = rec[0, b + 0]
-                loy = rec[0, b + 1]
-                loz = rec[0, b + 2]
-                hix = rec[0, b + 3]
-                hiy = rec[0, b + 4]
-                hiz = rec[0, b + 5]
-                ptr = rec[0, b + 6].astype(jnp.int32)
-                cnt = rec[0, b + 7]
-                t0 = (lox - ox) * inv_dx
-                t1 = (hix - ox) * inv_dx
-                tn = jnp.minimum(t0, t1)
-                tf = jnp.maximum(t0, t1)
-                t0 = (loy - oy) * inv_dy
-                t1 = (hiy - oy) * inv_dy
-                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-                t0 = (loz - oz) * inv_dz
-                t1 = (hiz - oz) * inv_dz
-                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-                hitm = (jnp.maximum(tn, 0.0) <= jnp.minimum(tf, best)) & (
-                    cnt > -0.5
-                )
-                hits.append(hitm)
-                ents.append((ptr, cnt))
-                prjs.append(
-                    (0.5 * (lox + hix) - omx) * dmx
-                    + (0.5 * (loy + hiy) - omy) * dmy
-                    + (0.5 * (loz + hiz) - omz) * dmz
-                )
+            for i in range(K):
+                rec = pairs_ref[pl.ds(ps[i], 1), :]  # (1, 16) both children
+                for half in (0, 1):
+                    b = 8 * half
+                    lox = rec[0, b + 0]
+                    loy = rec[0, b + 1]
+                    loz = rec[0, b + 2]
+                    hix = rec[0, b + 3]
+                    hiy = rec[0, b + 4]
+                    hiz = rec[0, b + 5]
+                    ptr = rec[0, b + 6].astype(jnp.int32)
+                    cnt = rec[0, b + 7]
+                    t0 = (lox - ox) * inv_dx
+                    t1 = (hix - ox) * inv_dx
+                    tn = jnp.minimum(t0, t1)
+                    tf = jnp.maximum(t0, t1)
+                    t0 = (loy - oy) * inv_dy
+                    t1 = (hiy - oy) * inv_dy
+                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                    t0 = (loz - oz) * inv_dz
+                    t1 = (hiz - oz) * inv_dz
+                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                    hitm = (
+                        jnp.maximum(tn, 0.0) <= jnp.minimum(tf, best)
+                    ) & (cnt > -0.5)
+                    hits.append(hitm)
+                    ents.append((ptr, cnt))
+                    prjs.append(
+                        (0.5 * (lox + hix) - omx) * dmx
+                        + (0.5 * (loy + hiy) - omy) * dmy
+                        + (0.5 * (loz + hiz) - omz) * dmz
+                    )
 
-            # ONE cross-lane reduce decodes both children's any-hit bits
-            if use_int_reduce:
-                packed_i = (
-                    hits[0].astype(jnp.int32)
-                    + (hits[1].astype(jnp.int32) << 16)
-                ) * active.astype(jnp.int32)
-                si = jnp.sum(packed_i)
-                any1 = (si >> 16) > 0
-                any0 = (si & 0xFFFF) > 0
+            # ONE vector→scalar readback decodes all 2K any-hit bits
+            if K == 1:
+                if use_int_reduce:
+                    packed_i = (
+                        hits[0].astype(jnp.int32)
+                        + (hits[1].astype(jnp.int32) << 16)
+                    ) * active.astype(jnp.int32)
+                    si = jnp.sum(packed_i)
+                    anyhits = ((si & 0xFFFF) > 0, (si >> 16) > 0)
+                else:
+                    packed = (
+                        hits[0].astype(jnp.float32)
+                        + hits[1].astype(jnp.float32) * _PLANE
+                    ) * activef
+                    s = jnp.sum(packed)
+                    c1 = jnp.floor(s * np.float32(1.0 / float(_PLANE)))
+                    anyhits = ((s - c1 * _PLANE) > 0.5, c1 > 0.5)
             else:
-                packed = (
-                    hits[0].astype(jnp.float32)
-                    + hits[1].astype(jnp.float32) * _PLANE
-                ) * activef
-                s = jnp.sum(packed)
-                c1 = jnp.floor(s * np.float32(1.0 / float(_PLANE)))
-                any1 = c1 > 0.5
-                any0 = (s - c1 * _PLANE) > 0.5
+                # bitmask OR-tree: per-lane 2K-bit masks folded across lanes
+                # and sublanes with rolls, one scalar extract for the batch
+                m = hits[0].astype(jnp.int32)
+                for j in range(1, 2 * K):
+                    m = m + (hits[j].astype(jnp.int32) << j)
+                m = jnp.where(active, m, 0)
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    m = m | pltpu.roll(m, sh, 1)
+                sh = dx.shape[0] // 2
+                while sh >= 1:
+                    m = m | pltpu.roll(m, sh, 0)
+                    sh //= 2
+                bits = m[0, 0]
+                anyhits = tuple(
+                    ((bits >> j) & 1) > 0 for j in range(2 * K)
+                )
 
-            anyhits = (any0, any1)
-            for half in (0, 1):
+            for half in range(2 * K):
                 ptr, cnt = ents[half]
                 hitm = hits[half] & active
 
@@ -284,18 +333,22 @@ def make_packet_intersect(
                     mid_ref[:] = mid_l
 
             # ordered descent: push the far internal child first so the near
-            # one pops first and shrinks best_t before the far subtree runs
-            push0 = any0 & (ents[0][1] == 0.0)
-            push1 = any1 & (ents[1][1] == 0.0)
-            near0 = prjs[0] <= prjs[1]
-            far_ptr = jnp.where(near0, ents[1][0], ents[0][0])
-            far_push = jnp.where(near0, push1, push0)
-            near_ptr = jnp.where(near0, ents[0][0], ents[1][0])
-            near_push = jnp.where(near0, push0, push1)
-            stack_ref[jnp.where(far_push, sp, _DISCARD)] = far_ptr
-            sp = sp + far_push.astype(jnp.int32)
-            stack_ref[jnp.where(near_push, sp, _DISCARD)] = near_ptr
-            sp = sp + near_push.astype(jnp.int32)
+            # one pops first and shrinks best_t before the far subtree runs.
+            # Records push in reverse batch order so record 0's near child
+            # ends on top of the stack (approximate DFS order across a batch)
+            for i in reversed(range(K)):
+                push0 = anyhits[2 * i] & (ents[2 * i][1] == 0.0)
+                push1 = anyhits[2 * i + 1] & (ents[2 * i + 1][1] == 0.0)
+                near0 = prjs[2 * i] <= prjs[2 * i + 1]
+                far_ptr = jnp.where(near0, ents[2 * i + 1][0], ents[2 * i][0])
+                far_push = jnp.where(near0, push1, push0)
+                near_ptr = jnp.where(near0, ents[2 * i][0],
+                                     ents[2 * i + 1][0])
+                near_push = jnp.where(near0, push0, push1)
+                stack_ref[jnp.where(far_push, sp, _DISCARD)] = far_ptr
+                sp = sp + far_push.astype(jnp.int32)
+                stack_ref[jnp.where(near_push, sp, _DISCARD)] = near_ptr
+                sp = sp + near_push.astype(jnp.int32)
             return sp
 
         jax.lax.while_loop(cond, body, sp0)
@@ -321,7 +374,7 @@ def _kernel(
     out_r, out_g, out_b,
     stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
     *, spp, max_depth, width, height, n_spheres, n_mats, root,
-    rows_per_leaf, max_leaf, inclusive_uv, tile_h,
+    rows_per_leaf, max_leaf, inclusive_uv, tile_h, pops_per_iter, dummy_row,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -340,6 +393,7 @@ def _kernel(
         bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
         spheres, mats,
         root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
+        pops_per_iter=pops_per_iter, dummy_row=dummy_row,
     )
     r, g, b = mk.trace_tile(
         (row * width + col).astype(jnp.uint32),
@@ -366,13 +420,14 @@ def _intersect_only_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pairs_ref, tris_ref,
     out_t, out_nx, out_ny, out_nz, out_mid,
     stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
-    *, root, rows_per_leaf, max_leaf,
+    *, root, rows_per_leaf, max_leaf, pops_per_iter, dummy_row,
 ):
     intersect = make_packet_intersect(
         pairs_ref, tris_ref, stack_ref,
         bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
         spheres=[], mats=[],
         root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
+        pops_per_iter=pops_per_iter, dummy_row=dummy_row,
     )
     o3 = (ox_ref[:], oy_ref[:], oz_ref[:])
     d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
@@ -385,8 +440,11 @@ def _intersect_only_kernel(
     out_mid[:] = mid_ref[:]
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
-def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H):
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "tile_h", "pops_per_iter")
+)
+def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
+                           pops_per_iter=1):
     n_rows = origins.shape[0] // TILE_W
     comps = [
         origins[:, 0], origins[:, 1], origins[:, 2],
@@ -394,11 +452,14 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H):
     ]
     comps = [c.reshape(n_rows, TILE_W) for c in comps]
     grid = (pl.cdiv(n_rows, tile_h),)
+    pairs = _with_dummy_row(packed.pairs)
     kernel = functools.partial(
         _intersect_only_kernel,
         root=packed.root,
         rows_per_leaf=-(-packed.max_leaf // TRIS_PER_ROW),
         max_leaf=packed.max_leaf,
+        pops_per_iter=pops_per_iter,
+        dummy_row=packed.pairs.shape[0],
     )
     block = pl.BlockSpec(
         (tile_h, TILE_W), lambda i: (i, 0), memory_space=pltpu.VMEM
@@ -411,7 +472,7 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H):
         in_specs=[block] * 6
         + [
             pl.BlockSpec(
-                packed.pairs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
+                pairs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
                 packed.tri_rows.shape, lambda i: (0, 0),
@@ -421,7 +482,7 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H):
         out_specs=(block,) * 5,
         scratch_shapes=traversal_scratch_shapes(tile_h),
         interpret=interpret,
-    )(*comps, packed.pairs, packed.tri_rows)
+    )(*comps, pairs, packed.tri_rows)
     return [o.reshape(-1) for o in outs]
 
 
@@ -461,12 +522,13 @@ def pack_materials_jnp(materials):
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_depth", "n_spheres", "n_mats",
-        "inclusive_uv", "interpret", "tile_h",
+        "inclusive_uv", "interpret", "tile_h", "pops_per_iter",
     ),
 )
 def _launch(
     seed_arr, scene, camera, *, width, height, spp, max_depth,
     n_spheres, n_mats, inclusive_uv, interpret, tile_h=TILE_H,
+    pops_per_iter=1,
 ):
     packed = scene.packed
     # meta fields of the PackedBVH pytree are concrete (part of the jit key)
@@ -481,7 +543,7 @@ def _launch(
         else jnp.zeros((1, 16), jnp.float32)
     )
     mat_arr = pack_materials_jnp(scene.materials)
-    pairs = packed.pairs
+    pairs = _with_dummy_row(packed.pairs)
     tri_rows = packed.tri_rows
 
     grid_h = pl.cdiv(height, tile_h)
@@ -495,6 +557,7 @@ def _launch(
         n_spheres=n_spheres, n_mats=n_mats, root=root,
         rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
         inclusive_uv=inclusive_uv, tile_h=tile_h,
+        pops_per_iter=pops_per_iter, dummy_row=packed.pairs.shape[0],
     )
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     block = pl.BlockSpec(
@@ -541,6 +604,7 @@ def render_flat_bvh_megakernel(
     inclusive_uv: bool = True,
     interpret: bool = False,
     tile_h: int = 32,
+    pops_per_iter: int | None = None,
 ):
     """Pallas packet-BVH render → flat (H*W, 3) bottom-up HDR buffer.
 
@@ -557,6 +621,10 @@ def render_flat_bvh_megakernel(
         raise ValueError(
             "scene has no packed BVH; call spira_tpu.accel.pairs.attach_packed"
         )
+    if pops_per_iter is None:
+        # measured on v5e at tile_h=32: batched pops are neutral on shallow
+        # trees (~200 pair records) and +9-17% on deep ones (5.4k-73k tris)
+        pops_per_iter = 8 if scene.packed.pairs.shape[0] >= 512 else 1
     r, g, b = _launch(
         jnp.asarray([[seed]], jnp.int32),
         scene,
@@ -570,5 +638,6 @@ def render_flat_bvh_megakernel(
         inclusive_uv=inclusive_uv,
         interpret=interpret,
         tile_h=tile_h,
+        pops_per_iter=pops_per_iter,
     )
     return mk._crop_flat(r, g, b, width, height)
