@@ -168,8 +168,28 @@ def run_config(cfg: RenderConfig) -> np.ndarray:
             hdr = np.asarray(
                 img_io.assemble_image(flat, cfg.width, cfg.height)
             )
-    else:
+    elif cfg.checkpoint_dir or cfg.checkpoint_every > 0:
         hdr = render_progressive(scene, camera, cfg)
+    else:
+        # single dispatch through the engine dispatcher — the pallas
+        # megakernels serve qualifying scenes (the progressive/chunked
+        # driver above stays on the wavefront family, which supports
+        # sample offsets for exact resume)
+        from .render import render_flat_engine
+
+        flat = render_flat_engine(
+            scene,
+            camera,
+            width=cfg.width,
+            height=cfg.height,
+            spp=cfg.spp,
+            max_depth=cfg.max_depth,
+            seed=cfg.seed,
+            semantics=cfg.semantics,
+            spectral=cfg.spectral,
+            engine=cfg.engine,
+        )
+        hdr = np.asarray(img_io.assemble_image(flat, cfg.width, cfg.height))
 
     ldr = img_io.TONEMAPS[cfg.tonemap](jnp.asarray(hdr))
     out = img_io.to_uint8(ldr)

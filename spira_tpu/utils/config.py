@@ -34,6 +34,7 @@ class RenderConfig:
     # estimator
     semantics: str = "physical"  # physical | reference
     spectral: bool = False
+    engine: str = "auto"  # auto | pallas | pallas_bvh | pallas_mxu | fused | wavefront
     seed: int = 0
     tonemap: str = "gamma"  # gamma | aces | none
     # execution
@@ -59,7 +60,7 @@ class RenderConfig:
 
 def add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene", default="default",
-                   help="default | cornell | mesh | path/to/model.obj")
+                   help="default | cornell | mesh | bunny | path/to/model.obj")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--spp", type=int, default=32)
@@ -67,6 +68,10 @@ def add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--semantics", default="physical",
                    choices=["physical", "reference"])
     p.add_argument("--spectral", action="store_true")
+    p.add_argument("--engine", default="auto",
+                   choices=["auto", "pallas", "pallas_bvh", "pallas_mxu",
+                            "fused", "wavefront"],
+                   help="execution engine (auto picks per scene/backend)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tonemap", default="gamma",
                    choices=["gamma", "aces", "none"])
@@ -98,6 +103,7 @@ def config_from_args(args: argparse.Namespace) -> RenderConfig:
         max_depth=args.max_depth,
         semantics=args.semantics,
         spectral=args.spectral,
+        engine=args.engine,
         seed=args.seed,
         tonemap=args.tonemap,
         n_tile=args.n_tile,
@@ -126,10 +132,22 @@ def build_scene(cfg: RenderConfig):
         return create_cornell_box(), cornell_camera(aspect)
     elif cfg.scene == "mesh":
         scene = create_mesh_scene()
+    elif cfg.scene == "bunny":
+        from ..scene.bunny import bunny_camera, create_bunny_scene
+
+        scene, _ = create_bunny_scene()
+        return scene, bunny_camera(aspect)
     elif cfg.scene.endswith(".obj"):
         scene = create_mesh_scene(obj_path=cfg.scene)
     else:
         raise ValueError(f"unknown scene {cfg.scene!r}")
+    if scene.bvh is not None and scene.packed is None:
+        # pack pair tables once at build time so the packet megakernel is
+        # auto-selectable (host-side NumPy, like the reference's
+        # serialize_scene_for_gpu)
+        from ..accel.pairs import attach_packed
+
+        scene = attach_packed(scene)
     camera = make_camera(
         lookfrom=cfg.lookfrom,
         lookat=cfg.lookat,
