@@ -233,7 +233,8 @@ def traverse_mxu_numpy(packed: MXUBVH, origin, direction, t_min=1e-3):
     m = np.cross(o, d)
     f_uv = np.concatenate([m, d, [0.0, 0.0]])
     f_o1 = np.concatenate([o, [0.0, 0.0, 0.0], [1.0, 0.0]])
-    inv = np.where(np.abs(d) > 1e-12, 1.0 / d, 1e12)
+    with np.errstate(divide="ignore"):
+        inv = np.where(np.abs(d) > 1e-12, 1.0 / d, 1e12)
 
     best = (np.inf, np.zeros(3), -1)
     stack = [packed.root]

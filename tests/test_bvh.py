@@ -64,6 +64,7 @@ def test_builder_invariants():
 
 
 @pytest.mark.parametrize("n_tris,seed", [(1, 1), (5, 2), (64, 3), (517, 4)])
+@pytest.mark.slow
 def test_traversal_matches_brute_force(n_tris, seed):
     tris = random_soup(n_tris, seed)
     bvh = build_bvh_for_triangles(tris)
@@ -73,6 +74,7 @@ def test_traversal_matches_brute_force(n_tris, seed):
     assert_hits_match(bvh_hit, brute_hit)
 
 
+@pytest.mark.slow
 def test_traversal_icosphere_from_inside_and_outside():
     tris = icosphere(center=(0, 0, -3), radius=1.0, subdivisions=3)
     assert tris.count == 20 * 4**3
@@ -83,6 +85,7 @@ def test_traversal_icosphere_from_inside_and_outside():
     )
 
 
+@pytest.mark.slow
 def test_two_level_matches_brute_force():
     meshes = [
         icosphere(center=(-2, 0, -4), radius=1.0, subdivisions=1),
@@ -96,6 +99,7 @@ def test_two_level_matches_brute_force():
     )
 
 
+@pytest.mark.slow
 def test_two_level_single_mesh():
     bvh, tris = build_two_level([cube(size=2.0)])
     o, d = random_rays(64, seed=12, spread=3.0)
@@ -104,6 +108,7 @@ def test_two_level_single_mesh():
     )
 
 
+@pytest.mark.slow
 def test_scene_with_bvh_renders_mesh():
     """End-to-end: a scene whose triangles route through the BVH must render
     identically (statistically) to brute force."""
@@ -159,6 +164,7 @@ def test_native_sah_quality_not_worse_than_median():
     assert sah.node_count <= med.node_count
 
 
+@pytest.mark.slow
 def test_stackless_equals_stack_traversal():
     """The production stackless traversal must agree exactly with the
     stack-per-ray oracle (and hence with brute force)."""
@@ -180,6 +186,7 @@ def test_stackless_equals_stack_traversal():
         )
 
 
+@pytest.mark.slow
 def test_stackless_two_level_with_redirects():
     meshes = [
         icosphere(center=(-2, 0, -4), radius=1.0, subdivisions=2),
@@ -212,6 +219,7 @@ def random_spheres(n, seed, spread=4.0):
 @pytest.mark.parametrize(
     "n_sph,n_tris,seed", [(1, 0, 5), (9, 0, 6), (5, 40, 7), (60, 200, 8)]
 )
+@pytest.mark.slow
 def test_mixed_traversal_matches_brute_force(n_sph, n_tris, seed):
     from spira_tpu.accel.bvh import build_mixed_bvh
     from spira_tpu.accel.traverse import intersect_bvh_mixed

@@ -125,6 +125,7 @@ def test_packet_kernel_matches_stack_traversal():
     assert (np.asarray(mid_pk)[hit_or] == mat_or[hit_or]).all()
 
 
+@pytest.mark.slow
 def test_bvh_megakernel_matches_fused_bit_near():
     """On a scene the fused engine can also render (<=32 tris), the packet
     megakernel produces the SAME image (same PCG stream, same formulas) to
@@ -160,6 +161,7 @@ def test_bvh_megakernel_matches_fused_bit_near():
     np.testing.assert_allclose(img_pk, img_fused, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_bvh_megakernel_mesh_scene_smoke():
     """Full bunny-tier scene (two-level BVH, 1.4k tris) through the packet
     megakernel in interpret mode: finite, non-trivial, sky visible."""
@@ -178,6 +180,7 @@ def test_bvh_megakernel_mesh_scene_smoke():
     assert img.max() > 0.1
 
 
+@pytest.mark.slow
 def test_packet_kernel_tile_h_invariant():
     """Packet height is a pure blocking choice: images are BIT-identical at
     tile_h 8/16/32 (pixel ids and PCG streams depend only on absolute

@@ -2,6 +2,7 @@
 process-boundary paths are exercised on real pods via the same code)."""
 
 import numpy as np
+import pytest
 
 import spira_tpu as st
 from spira_tpu.parallel.distributed import (
@@ -49,6 +50,7 @@ def test_gather_image_roundtrip():
     assert np.isfinite(img).all()
 
 
+@pytest.mark.slow
 def test_sharded_fused_invariant_to_mesh_shape():
     """PCG counters are global → the image does not depend on how it was
     sharded (BASELINE gradient/image parity across 1 chip / N chips)."""

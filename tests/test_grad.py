@@ -115,6 +115,7 @@ def test_inverse_rendering_recovers_albedo():
     assert np.mean(losses[-10:]) < 0.5 * np.mean(losses[:5])
 
 
+@pytest.mark.slow
 def test_camera_gradients_flow_fused():
     """BASELINE: pixel gradients w.r.t. camera — the fused engine traces the
     camera frame, so d(loss)/d(origin, fov-derived vectors) exists."""
@@ -188,6 +189,7 @@ def test_inverse_rendering_recovers_emission():
     assert abs(rec - 5.0) < 1.0, f"recovered emission {rec:.2f} (true 5.0)"
 
 
+@pytest.mark.slow
 def test_inverse_spectral_recovers_albedo_spd():
     """Spectral inverse rendering: recover a perturbed albedo SPD through
     the hero-wavelength estimator (config 4, spectral)."""

@@ -39,6 +39,7 @@ def _fused_loss(scene, cam, target):
     return jnp.mean((img - target) ** 2)
 
 
+@pytest.mark.slow
 def test_pallas_grad_kernel_matches_fused_autodiff():
     scene, cam, target = _setup()
 
@@ -74,6 +75,7 @@ def test_pallas_grad_kernel_matches_fused_autodiff():
     assert np.abs(np.asarray(d_scene.spheres.centers)).max() > 0
 
 
+@pytest.mark.slow
 def test_grad_spp_subsample_is_consistent():
     """grad_spp=1 replays only sample 0 scaled by spp — an unbiased
     stochastic estimator whose value must equal the sample-0 term of the
@@ -104,6 +106,7 @@ def test_grad_spp_subsample_is_consistent():
 # Hybrid differentiable render (Pallas fwd / fused-XLA bwd via custom_vjp)
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_hybrid_grad_matches_fused_at_full_replay():
     from spira_tpu.kernels.megakernel import render_flat_hybrid_grad
 
@@ -132,6 +135,7 @@ def test_hybrid_grad_matches_fused_at_full_replay():
     )
 
 
+@pytest.mark.slow
 def test_hybrid_grad_subsampled_unbiased_direction():
     from spira_tpu.kernels.megakernel import render_flat_hybrid_grad
 

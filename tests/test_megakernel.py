@@ -40,6 +40,7 @@ def test_box_muller_moments():
         np.testing.assert_allclose(g.std(), 1.0, atol=0.03)
 
 
+@pytest.mark.slow
 def test_megakernel_matches_xla_statistically():
     """The fused kernel implements the same physical estimator as the XLA
     wavefront path — means agree within MC noise."""
@@ -146,6 +147,7 @@ def test_fused_triangle_geometry_exact():
     assert a.sum() > 50
 
 
+@pytest.mark.slow
 def test_megakernel_padding_tiles():
     """Non-multiple sizes: padded tiles must not corrupt the visible image."""
     scene = st.create_scene()
@@ -221,6 +223,7 @@ def test_engine_dispatch():
     assert select_engine(sphere_scene, "physical", False, "pallas") == "pallas"
 
 
+@pytest.mark.slow
 def test_render_api_engine_fused_matches_wavefront_statistically():
     scene = st.create_scene()
     cam = st.default_camera(2.0)

@@ -24,6 +24,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
+@pytest.mark.slow
 def test_two_process_render_and_grads(tmp_path):
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")

@@ -5,6 +5,7 @@ oracle vs the streaming kernel (interpret mode), then the full render vs
 the packet-BVH megakernel (same PCG stream -> identical images)."""
 
 import numpy as np
+import pytest
 
 from spira_tpu.accel.bvh import build_two_level
 from spira_tpu.accel.mxu import attach_mxu, pack_bvh_mxu, traverse_mxu_numpy
@@ -53,6 +54,7 @@ def test_stream_matches_numpy_oracle():
             np.testing.assert_allclose(n[i], nn, rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_stream_render_matches_packet_kernel():
     """Full render: streaming engine == packet engine to float tolerance
     (same estimator, same PCG stream, different intersector)."""

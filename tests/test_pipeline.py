@@ -200,6 +200,7 @@ def test_cli_render_and_info(tmp_path, capsys):
     assert "backend" in captured.out
 
 
+@pytest.mark.slow
 def test_cli_inverse_smoke(tmp_path):
     from spira_tpu.cli import main
 

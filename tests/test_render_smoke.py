@@ -67,6 +67,7 @@ def test_emissive_sphere_brighter_than_sky():
     assert center > 3.0  # emission = 5 on the light sphere
 
 
+@pytest.mark.slow
 def test_bunny_tier_mesh_scene_render():
     """The bunny-test.jl analogue: render the two-level-BVH mesh scene and
     assert shape + plausible content (SURVEY.md §4 tier)."""

@@ -78,6 +78,7 @@ def test_replicate_places_on_all_devices(scene_cam):
     assert len(rep.materials.albedo.sharding.device_set) == 8
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 

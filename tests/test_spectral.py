@@ -111,6 +111,7 @@ def test_dielectric_sphere_transmits():
     assert hdr[12, 12].mean() > 0.4
 
 
+@pytest.mark.slow
 def test_dispersion_produces_chromatic_spread():
     """With cauchy_b > 0, refracted radiance becomes wavelength-dependent:
     the variance across color channels behind a prism-like sphere grows."""
@@ -139,6 +140,7 @@ def test_dispersion_produces_chromatic_spread():
     assert c1 > c0 * 1.5, f"dispersion chroma {c0:.4f} -> {c1:.4f}"
 
 
+@pytest.mark.slow
 def test_cornell_box_renders(tmp_path):
     """BASELINE config 2: Cornell-style box, emissive + dielectric, spectral."""
     scene = st.create_cornell_box()
@@ -156,6 +158,7 @@ def test_cornell_box_renders(tmp_path):
     assert right[..., 1].mean() > right[..., 0].mean()
 
 
+@pytest.mark.slow
 def test_spectral_gradients_flow_to_spd():
     """d(loss)/d(albedo_spd) is nonzero and finite — the inverse-spectral
     pathway of BASELINE config 4."""
@@ -206,6 +209,7 @@ def test_fused_spectral_matches_wavefront():
     assert np.abs(fz - wf1).mean() < 1.25 * noise_floor
 
 
+@pytest.mark.slow
 def test_fused_spectral_via_render_api():
     scene = st.create_scene()
     cam = st.default_camera(2.0)
@@ -242,6 +246,7 @@ def test_fused_spectral_spd_gradients():
     assert np.abs(g).max() > 0
 
 
+@pytest.mark.slow
 def test_pallas_spectral_matches_fused():
     """The Pallas spectral megakernel wraps the exact fused tracer (same PCG
     stream) — images match to float tolerance (interpret mode on CPU)."""
