@@ -62,7 +62,10 @@ TILE_H = mk.TILE_H
 TILE_W = mk.TILE_W
 INF = mk.INF
 T_MIN = mk.T_MIN
-STACK_SIZE = 256  # internal children only; headroom for batched pops (K<=8)
+# Batched pops strand up to K un-popped entries per tree level, so the
+# worst case is ~2*K*depth = 2*8*62 = 992 under the builder's depth cap
+# (accel/bvh.py MAX_STACK-2); 1024 is a proven bound, and SMEM is cheap.
+STACK_SIZE = 1024
 _DISCARD = STACK_SIZE - 1  # masked pushes land here and are never read
 N_MAT_FIELDS = 10  # ar ag ab er eg eb metallic roughness ior transmission
 #: bit-plane multiplier for the combined two-child hit-count reduce:
@@ -133,9 +136,10 @@ def make_packet_intersect(
         dx, dy, dz = d3
         n_lanes = int(np.prod(dx.shape))
         inv_n = np.float32(1.0 / n_lanes)
-        # the packed two-child any-hit reduce is exact in float32 only while
-        # count0 + count1 * PLANE < 2^24; taller packets use an int32 sum
-        use_int_reduce = n_lanes > int(_PLANE)
+        # the packed two-child any-hit reduce decodes count0 via
+        # s - floor(s/PLANE)*PLANE, which requires count0 < PLANE strictly
+        # (count0 == PLANE aliases into count1); >= switches to int32 sum
+        use_int_reduce = n_lanes >= int(_PLANE)
 
         # ---- spheres first: their hits seed best_t and cull mesh subtrees
         st = mk.init_hit_state(dx)
@@ -486,16 +490,18 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
     return [o.reshape(-1) for o in outs]
 
 
-def intersect_tile(packed, origins, dirs, *, interpret=False):
+def intersect_tile(packed, origins, dirs, *, interpret=False,
+                   tile_h=TILE_H, pops_per_iter=1):
     """Nearest-hit query through the packet kernel (testing/debug API).
 
-    origins/dirs: (N, 3) with N a multiple of 1024.  Returns
+    origins/dirs: (N, 3) with N a multiple of tile_h*128.  Returns
     (t, normal (N,3), mat_id) with t = INF (1e20) on miss — the direct
     analogue of `accel.traverse.intersect_bvh_stack` for differential
-    testing.
+    testing.  ``tile_h``/``pops_per_iter`` as in the render entry point.
     """
     t, nx, ny, nz, mid = _intersect_tile_launch(
-        packed, jnp.asarray(origins), jnp.asarray(dirs), interpret
+        packed, jnp.asarray(origins), jnp.asarray(dirs), interpret,
+        tile_h=tile_h, pops_per_iter=pops_per_iter,
     )
     return t, jnp.stack([nx, ny, nz], axis=-1), mid.astype(jnp.int32)
 
@@ -621,6 +627,10 @@ def render_flat_bvh_megakernel(
         raise ValueError(
             "scene has no packed BVH; call spira_tpu.accel.pairs.attach_packed"
         )
+    if tile_h not in (8, 16, 32, 64):
+        # the any-hit OR-fold and the (8,128) sublane tiling require a
+        # power-of-two packet height
+        raise ValueError(f"tile_h must be one of 8/16/32/64, got {tile_h}")
     if pops_per_iter is None:
         # measured on v5e at tile_h=32: batched pops are neutral on shallow
         # trees (~200 pair records) and +9-17% on deep ones (5.4k-73k tris)

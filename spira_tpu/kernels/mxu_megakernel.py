@@ -331,17 +331,9 @@ def _launch(
         if n_spheres > 0
         else jnp.zeros((1, 16), jnp.float32)
     )
-    mat_arr = jnp.concatenate(
-        [
-            scene.materials.albedo,
-            scene.materials.emission,
-            scene.materials.metallic[:, None],
-            scene.materials.roughness[:, None],
-            scene.materials.ior[:, None],
-            scene.materials.transmission[:, None],
-        ],
-        axis=1,
-    )
+    from .bvh_megakernel import pack_materials_jnp
+
+    mat_arr = pack_materials_jnp(scene.materials)
 
     grid_h = pl.cdiv(height, TILE_H)
     grid_w = pl.cdiv(width, TILE_W)
@@ -397,7 +389,9 @@ def render_flat_mxu_megakernel(
     megakernels — identical scenes render statistically identically on all
     three.
     """
-    if scene.wide is None:
+    if scene.wide is None or not hasattr(scene.wide, "coeff_uv"):
+        # scene.wide may also hold a plain 16-wide WideBVH (attach_wide),
+        # which has no superleaf coefficient tables
         raise ValueError(
             "scene has no MXU superleaf tables; call "
             "spira_tpu.accel.mxu.attach_mxu"

@@ -142,6 +142,14 @@ def run_config(cfg: RenderConfig) -> np.ndarray:
     """Build the scene, render (sharded if configured), tone map, save."""
     scene, camera = build_scene(cfg)
 
+    if cfg.engine != "auto" and (
+        cfg.n_tile is not None or cfg.checkpoint_dir or cfg.checkpoint_every > 0
+    ):
+        logger.warning(
+            "--engine %s is ignored by the sharded/progressive drivers "
+            "(wavefront family only — they need sample offsets for resume)",
+            cfg.engine,
+        )
     if cfg.n_tile is not None:
         from .parallel.mesh import make_mesh, replicate
         from .parallel.sharded import render_flat_sharded

@@ -191,6 +191,13 @@ def render_flat_engine(
     engines use the PCG4D RNG stream, the wavefront engine threefry — images
     agree statistically, not bitwise)."""
     engine = select_engine(scene, semantics, spectral, engine, camera=camera)
+    if engine in ("pallas_bvh", "pallas_mxu") and (
+        spectral or semantics != "physical"
+    ):
+        raise ValueError(
+            f"engine {engine!r} renders physical-semantics RGB only; "
+            "use engine='wavefront' (or 'auto') for spectral/reference"
+        )
     if engine == "pallas_bvh":
         from .kernels.bvh_megakernel import render_flat_bvh_megakernel
 

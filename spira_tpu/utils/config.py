@@ -141,10 +141,19 @@ def build_scene(cfg: RenderConfig):
         scene = create_mesh_scene(obj_path=cfg.scene)
     else:
         raise ValueError(f"unknown scene {cfg.scene!r}")
-    if scene.bvh is not None and scene.packed is None:
+    wants_packet_kernel = (
+        cfg.engine in ("auto", "pallas_bvh")
+        and cfg.n_tile is None
+        and not cfg.checkpoint_dir
+        and cfg.checkpoint_every <= 0
+        and not cfg.spectral
+        and cfg.semantics == "physical"
+    )
+    if wants_packet_kernel and scene.bvh is not None and scene.packed is None:
         # pack pair tables once at build time so the packet megakernel is
         # auto-selectable (host-side NumPy, like the reference's
-        # serialize_scene_for_gpu)
+        # serialize_scene_for_gpu); skipped for the wavefront-family
+        # drivers, which would otherwise replicate unused tables
         from ..accel.pairs import attach_packed
 
         scene = attach_packed(scene)

@@ -198,3 +198,63 @@ def test_packet_kernel_tile_h_invariant():
             render_flat_bvh_megakernel(scene, cam, tile_h=th, **kw)
         )
         np.testing.assert_array_equal(base, img)
+
+
+@pytest.mark.slow
+def test_batched_pops_match_single_pop_on_deep_tree():
+    """The auto-enabled pops_per_iter=8 path (dummy-record batch pops,
+    bitmask OR-tree readback, reversed push ordering) against K=1 and the
+    stack oracle on a tree big enough to trip the >=512-pair-row
+    auto-threshold — the production configuration the small suite scenes
+    never reach."""
+    rng = np.random.default_rng(11)
+    parts = [
+        icosphere(center=c, radius=r, subdivisions=3, material=i % 2)
+        for i, (c, r) in enumerate(
+            [((-1.2, 0.0, 0.0), 0.5), ((1.2, 0.2, -0.4), 0.6),
+             ((0.0, -0.6, 0.8), 0.45), ((0.3, 0.9, -1.0), 0.55)]
+        )
+    ]
+    bvh, tris = build_two_level(parts, leaf_size=4)
+    packed = pack_bvh(bvh, tris)
+    assert packed.pairs.shape[0] >= 512  # the auto-K threshold is exercised
+
+    origins, dirs = _random_rays(1024, seed=9, spread=2.0)
+    t1, n1, m1 = intersect_tile(packed, origins, dirs, interpret=True,
+                                pops_per_iter=1)
+    t8, n8, m8 = intersect_tile(packed, origins, dirs, interpret=True,
+                                pops_per_iter=8)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t8))
+    np.testing.assert_array_equal(np.asarray(n1), np.asarray(n8))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m8))
+
+    hit_oracle = intersect_bvh_stack(
+        bvh, tris, jnp.asarray(origins), jnp.asarray(dirs)
+    )
+    hit_or = np.asarray(hit_oracle.hit)
+    t8 = np.asarray(t8)
+    assert ((t8 >= 1e19) == ~hit_or).all()
+    np.testing.assert_allclose(
+        t8[hit_or], np.asarray(hit_oracle.t)[hit_or], rtol=1e-4, atol=1e-5
+    )
+
+
+def test_full_lane_hit_decodes_exactly():
+    """Regression for the any-hit decode boundary: when EVERY lane of the
+    packet hits one child and none hit the other, both decode paths must
+    report (True, False) — count0 == n_lanes previously aliased into
+    count1 in the float bit-plane decode at n_lanes == 2048."""
+    mesh = icosphere(center=(0.0, 0.0, 0.0), radius=1.0, subdivisions=2,
+                     material=0)
+    bvh = build_bvh_for_triangles(mesh, leaf_size=4)
+    packed = pack_bvh(bvh, mesh)
+    for tile_h in (8, 16):
+        n = tile_h * 128
+        # every ray aimed straight at the sphere center -> all lanes hit
+        origins = np.tile(np.array([[0.0, 0.0, 3.0]], np.float32), (n, 1))
+        dirs = np.tile(np.array([[0.0, 0.0, -1.0]], np.float32), (n, 1))
+        t, _, mid = intersect_tile(packed, origins, dirs, interpret=True,
+                                   tile_h=tile_h)
+        t = np.asarray(t)
+        assert (t < 1e19).all(), f"tile_h={tile_h}: lanes lost hits"
+        np.testing.assert_allclose(t, t[0], rtol=1e-5)
