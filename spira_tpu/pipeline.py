@@ -142,6 +142,21 @@ def run_config(cfg: RenderConfig) -> np.ndarray:
     """Build the scene, render (sharded if configured), tone map, save."""
     scene, camera = build_scene(cfg)
 
+    if cfg.shading != "full":
+        from .integrator.preview import render_flat_preview
+
+        flat = render_flat_preview(
+            scene, camera, width=cfg.width, height=cfg.height,
+            seed=cfg.seed, shading=cfg.shading,
+        )
+        hdr = np.asarray(img_io.assemble_image(flat, cfg.width, cfg.height))
+        ldr = img_io.TONEMAPS[cfg.tonemap](jnp.asarray(hdr))
+        out = img_io.to_uint8(ldr)
+        if cfg.output:
+            img_io.save_png(cfg.output, out)
+            logger.info("wrote %s", cfg.output)
+        return out
+
     if cfg.engine != "auto" and (
         cfg.n_tile is not None or cfg.checkpoint_dir or cfg.checkpoint_every > 0
     ):

@@ -271,26 +271,38 @@ def render(
     inclusive_uv: bool = True,
     spectral: bool = False,
     engine: str = "auto",
+    shading: str = "full",
     output_path: str | None = None,
 ) -> np.ndarray:
     """Render, tone map, optionally save a PNG; returns (H, W, 3) uint8.
 
     Signature mirrors the reference package API
     (`/root/reference/src/spira-metal-optimized.jl:1453-1455`).
+    ``shading="preview"``/``"normal"`` switch to the single-bounce
+    quick-look renderers (reference §2.5 single-bounce family).
     """
-    hdr = render_hdr(
-        scene,
-        camera,
-        width,
-        height,
-        spp=samples_per_pixel,
-        max_depth=max_depth,
-        seed=seed,
-        semantics=semantics,
-        inclusive_uv=inclusive_uv,
-        spectral=spectral,
-        engine=engine,
-    )
+    if shading != "full":
+        from .integrator.preview import render_flat_preview
+
+        flat = render_flat_preview(
+            scene, camera, width=width, height=height, seed=seed,
+            shading=shading, inclusive_uv=inclusive_uv,
+        )
+        hdr = img_io.assemble_image(flat, width, height)
+    else:
+        hdr = render_hdr(
+            scene,
+            camera,
+            width,
+            height,
+            spp=samples_per_pixel,
+            max_depth=max_depth,
+            seed=seed,
+            semantics=semantics,
+            inclusive_uv=inclusive_uv,
+            spectral=spectral,
+            engine=engine,
+        )
     ldr = img_io.TONEMAPS[tonemap](hdr)
     out = img_io.to_uint8(ldr)
     if output_path is not None:

@@ -35,6 +35,7 @@ class RenderConfig:
     semantics: str = "physical"  # physical | reference
     spectral: bool = False
     engine: str = "auto"  # auto | pallas | pallas_bvh | pallas_mxu | fused | wavefront
+    shading: str = "full"  # full | preview | normal (single-bounce quick looks)
     seed: int = 0
     tonemap: str = "gamma"  # gamma | aces | none
     # execution
@@ -68,6 +69,9 @@ def add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--semantics", default="physical",
                    choices=["physical", "reference"])
     p.add_argument("--spectral", action="store_true")
+    p.add_argument("--shading", default="full",
+                   choices=["full", "preview", "normal"],
+                   help="full path tracing, or single-bounce quick looks")
     p.add_argument("--engine", default="auto",
                    choices=["auto", "pallas", "pallas_bvh", "pallas_mxu",
                             "fused", "wavefront"],
@@ -104,6 +108,7 @@ def config_from_args(args: argparse.Namespace) -> RenderConfig:
         semantics=args.semantics,
         spectral=args.spectral,
         engine=args.engine,
+        shading=args.shading,
         seed=args.seed,
         tonemap=args.tonemap,
         n_tile=args.n_tile,
