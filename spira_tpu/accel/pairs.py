@@ -49,7 +49,9 @@ _PTR = 6
 _CNT = 7
 
 
-@pytree_dataclass(meta_fields=("root", "n_rows", "n_pairs", "max_leaf"))
+@pytree_dataclass(
+    meta_fields=("root", "n_rows", "n_pairs", "max_leaf", "depth")
+)
 class PackedBVH:
     """Device-resident pair-record BVH (replicated per chip)."""
 
@@ -59,6 +61,7 @@ class PackedBVH:
     n_rows: int = 0
     n_pairs: int = 0
     max_leaf: int = TRIS_PER_ROW
+    depth: int = 1  # pair records on the longest root->leaf chain
 
 
 def _leaf_rows_needed(count: int) -> int:
@@ -158,6 +161,19 @@ def pack_bvh(bvh, tris, materials=None) -> PackedBVH:
     else:
         root = int(pair_of[0])
 
+    # longest root->leaf chain through pair records; the packet kernel
+    # sizes/validates its SMEM traversal stack against this (a two-level
+    # tree can stack a top tree above per-mesh trees, so the builders'
+    # per-tree depth cap does not bound the packed depth by itself)
+    depth = 1
+    chain = [(int(root), 1)]
+    while chain:
+        rec, d = chain.pop()
+        depth = max(depth, d)
+        for half in (0, 1):
+            if pairs[rec, 8 * half + _CNT] == 0.0:  # internal child
+                chain.append((int(pairs[rec, 8 * half + _PTR]), d + 1))
+
     # pad sublane dims to multiples of 8
     def pad8(a):
         p = (-a.shape[0]) % 8
@@ -172,6 +188,7 @@ def pack_bvh(bvh, tris, materials=None) -> PackedBVH:
         n_rows=total_rows,
         n_pairs=total_pairs,
         max_leaf=max_leaf,
+        depth=depth,
     )
 
 

@@ -281,9 +281,9 @@ def load_exr(path: str) -> np.ndarray:
             raw = _exr_predictor_interleave(raw).tobytes()
         off = 0
         for line in range(n_lines):
+            # chunk headers carry ABSOLUTE y coordinates; lineOrder only
+            # affects the order chunks appear in the file, not placement
             y = y_block - y0 + line
-            if line_order == 1:  # DECREASING_Y
-                y = height - 1 - y
             for cname, dtype in channels:
                 nb = width * np.dtype(dtype).itemsize
                 vals = np.frombuffer(raw, dtype, count=width, offset=off)

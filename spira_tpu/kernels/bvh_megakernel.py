@@ -67,6 +67,21 @@ T_MIN = mk.T_MIN
 # (accel/bvh.py MAX_STACK-2); 1024 is a proven bound, and SMEM is cheap.
 STACK_SIZE = 1024
 _DISCARD = STACK_SIZE - 1  # masked pushes land here and are never read
+
+
+def _check_stack_depth(depth: int, pops_per_iter: int) -> None:
+    """Refuse trees whose traversal could overflow the SMEM stack.
+
+    Each of the K popped records pushes at most 2 entries, and a
+    depth-D chain can hold up to 2K pending entries per level, so
+    2*K*D (+K transient) bounds occupancy.  Overflow would silently
+    corrupt traversal through the shared _DISCARD slot."""
+    if 2 * pops_per_iter * depth + pops_per_iter >= STACK_SIZE:
+        raise ValueError(
+            f"packed BVH depth {depth} with pops_per_iter={pops_per_iter} "
+            f"could overflow the {STACK_SIZE}-entry traversal stack; "
+            "rebuild with larger leaves or lower pops_per_iter"
+        )
 N_MAT_FIELDS = 10  # ar ag ab er eg eb metallic roughness ior transmission
 #: bit-plane multiplier for the combined two-child hit-count reduce:
 #: sum(hit0 + hit1*2048) <= 1024 + 1024*2048 < 2^24 — exact in float32.
@@ -457,6 +472,7 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
     comps = [c.reshape(n_rows, TILE_W) for c in comps]
     grid = (pl.cdiv(n_rows, tile_h),)
     pairs = _with_dummy_row(packed.pairs)
+    _check_stack_depth(packed.depth, pops_per_iter)
     kernel = functools.partial(
         _intersect_only_kernel,
         root=packed.root,
@@ -538,6 +554,7 @@ def _launch(
 ):
     packed = scene.packed
     # meta fields of the PackedBVH pytree are concrete (part of the jit key)
+    _check_stack_depth(packed.depth, pops_per_iter)
     root = packed.root
     max_leaf = packed.max_leaf
     rows_per_leaf = -(-max_leaf // TRIS_PER_ROW)

@@ -129,6 +129,9 @@ def _stream_blocks(cuv_ref, ct_ref, cpay_ref, o3, d3, best0_row, n_blocks):
         hit = (
             (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
             & (tt > T_MIN) & (tt < best_b)
+            # near-parallel guard: tiny nonzero det gives huge u/v/t from
+            # fp32 division — same eps as the traverse_mxu_numpy oracle
+            & (jnp.abs(det) > 1e-12)
         )
         tcand = jnp.where(hit, tt, INF)
         tmin = jnp.min(tcand, axis=0, keepdims=True)

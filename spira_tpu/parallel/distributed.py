@@ -42,10 +42,13 @@ def initialize(
     """
     # must not touch the backend before jax.distributed.initialize —
     # jax.process_count() would initialise XLA and poison the init.
-    from jax._src import distributed as _dist_state
+    try:
+        from jax._src import distributed as _dist_state
 
-    if _dist_state.global_state.client is not None:
-        return  # already initialized
+        if _dist_state.global_state.client is not None:
+            return  # already initialized
+    except (ImportError, AttributeError):
+        pass  # private API moved; fall through and let initialize() tell us
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -60,6 +63,8 @@ def initialize(
             jax.device_count(),
         )
     except Exception as e:
+        if "already initialized" in str(e).lower():
+            return  # fallback path when the private-state probe is gone
         if num_processes not in (None, 1):
             raise
         logger.debug("single-process run (distributed init skipped: %s)", e)

@@ -196,3 +196,42 @@ def test_exr_unsupported_compression_raises(tmp_path):
     open(p, "wb").write(bytes(data))
     with pytest.raises(ValueError):
         img_io.load_exr(p)
+
+
+def test_exr_decreasing_y(tmp_path):
+    # chunk headers carry absolute y; lineOrder only changes chunk order in
+    # the file.  Build a DECREASING_Y file by patching save_exr's output:
+    # flip the lineOrder byte, reverse the chunk order, rebuild offsets.
+    import struct
+
+    rng = np.random.default_rng(3)
+    hdr = rng.uniform(0, 4, size=(6, 4, 3)).astype(np.float32)
+    p0 = str(tmp_path / "inc.exr")
+    img_io.save_exr(p0, hdr)
+    data = bytearray(open(p0, "rb").read())
+
+    tag = b"lineOrder\x00lineOrder\x00"
+    i = data.index(tag) + len(tag) + 4  # skip the attr size field
+    assert data[i] == 0
+    data[i] = 1  # DECREASING_Y
+
+    h, w = hdr.shape[:2]
+    chunk = 8 + 3 * 4 * w
+    header_end = len(data) - h * (8 + chunk)  # offset table start
+    table_end = header_end + 8 * h
+    chunks = [
+        bytes(data[table_end + y * chunk : table_end + (y + 1) * chunk])
+        for y in range(h)
+    ]
+    chunks.reverse()
+    offsets = b"".join(
+        struct.pack("<Q", table_end + k * chunk) for k in range(h)
+    )
+    p1 = str(tmp_path / "dec.exr")
+    with open(p1, "wb") as f:
+        f.write(data[:header_end])
+        f.write(offsets)
+        f.write(b"".join(chunks))
+
+    back = img_io.load_exr(p1)
+    np.testing.assert_array_equal(back, hdr)
