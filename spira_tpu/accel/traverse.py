@@ -50,21 +50,59 @@ def _safe_inv(directions):
     )
 
 
+def _winner_triangle_hit(tris, best_prim, found, origins, directions) -> Hit:
+    """Differentiable hit record against an already-selected triangle.
+
+    Traversal loops only SELECT the winning primitive (a discrete choice a
+    `lax.while_loop` cannot reverse-differentiate); t/normal are recomputed
+    here with one gather + Möller–Trumbore so camera/geometry gradients
+    flow (same hit-record math as the reference,
+    /root/reference/examples/julia-raytracer-optimized.jl:350-397).
+    """
+    v0 = tris.v0[best_prim]
+    e1 = tris.e1[best_prim]
+    e2 = tris.e2[best_prim]
+    pvec = jnp.cross(directions, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    det_ok = jnp.abs(det) > 1e-9
+    inv_det = jnp.where(det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0)
+    tvec = origins - v0
+    qvec = jnp.cross(tvec, e1)
+    tt = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    return Hit(
+        t=jnp.where(found, tt, INF),
+        normal=tris.normal[best_prim],
+        material=tris.material[best_prim],
+        hit=found,
+    )
+
+
 def intersect_bvh(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
     """Stackless nearest-hit traversal (production path)."""
+    # gradients: the while_loop runs on stopped inputs; the returned hit is
+    # differentiably recomputed against the winner (_winner_triangle_hit)
+    o_diff, d_diff = origins, directions
+    origins = jax.lax.stop_gradient(origins)
+    directions = jax.lax.stop_gradient(directions)
+    tris_ng = jax.lax.stop_gradient(tris)
+
     leaf_size = bvh.max_leaf
     n_prims = tris.count
     inv_dir = _safe_inv(directions)
 
     # Packed tables: one float gather + one int gather per node visit
     # (loop-invariant; XLA hoists the packing out of the while loop).
-    nodes_f = jnp.concatenate([bvh.node_min, bvh.node_max], axis=1)  # (M,6)
+    nodes_f = jax.lax.stop_gradient(
+        jnp.concatenate([bvh.node_min, bvh.node_max], axis=1)
+    )  # (M,6)
     nodes_i = jnp.stack(
         [bvh.left, bvh.right, bvh.is_leaf, bvh.parent, bvh.sibling,
          bvh.is_left],
         axis=1,
     )  # (M,6)
-    tris9 = jnp.concatenate([tris.v0, tris.e1, tris.e2], axis=1)  # (T,9)
+    tris9 = jnp.concatenate(
+        [tris_ng.v0, tris_ng.e1, tris_ng.e2], axis=1
+    )  # (T,9)
 
     zero_i = (origins[:, 0] * 0).astype(jnp.int32)
     state = (
@@ -152,12 +190,8 @@ def intersect_bvh(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
 
     _, _, _, best_t, best_prim, _ = jax.lax.while_loop(cond, body, state)
 
-    hit = best_t < INF
-    return Hit(
-        t=best_t,
-        normal=tris.normal[best_prim],
-        material=tris.material[best_prim],
-        hit=hit,
+    return _winner_triangle_hit(
+        tris, best_prim, best_t < INF, o_diff, d_diff
     )
 
 
@@ -175,23 +209,35 @@ def intersect_bvh_mixed(
     the measured cost model); the extra masked test per slot beats a
     per-ray brute-force pass over every sphere once spheres are plentiful.
     """
+    # gradients: discrete traversal on stopped inputs, winner recomputed
+    # differentiably after the loop (see _winner_triangle_hit)
+    o_diff, d_diff = origins, directions
+    origins = jax.lax.stop_gradient(origins)
+    directions = jax.lax.stop_gradient(directions)
+    tris_ng = jax.lax.stop_gradient(tris) if tris is not None else None
+    spheres_ng = jax.lax.stop_gradient(spheres)
+
     leaf_size = bvh.max_leaf
     n_sph = bvh.n_sph
     n_tris = tris.count if tris is not None else 0
     n_total = n_sph + n_tris
     inv_dir = _safe_inv(directions)
 
-    nodes_f = jnp.concatenate([bvh.node_min, bvh.node_max], axis=1)
+    nodes_f = jax.lax.stop_gradient(
+        jnp.concatenate([bvh.node_min, bvh.node_max], axis=1)
+    )
     nodes_i = jnp.stack(
         [bvh.left, bvh.right, bvh.is_leaf, bvh.parent, bvh.sibling,
          bvh.is_left],
         axis=1,
     )
     sph4 = jnp.concatenate(
-        [spheres.centers, spheres.radii[:, None]], axis=1
+        [spheres_ng.centers, spheres_ng.radii[:, None]], axis=1
     )  # (S,4)
     if n_tris > 0:
-        tris9 = jnp.concatenate([tris.v0, tris.e1, tris.e2], axis=1)
+        tris9 = jnp.concatenate(
+            [tris_ng.v0, tris_ng.e1, tris_ng.e2], axis=1
+        )
 
     zero_i = (origins[:, 0] * 0).astype(jnp.int32)
     state = (
@@ -294,22 +340,35 @@ def intersect_bvh_mixed(
 
     _, _, _, best_t, best_prim, _ = jax.lax.while_loop(cond, body, state)
 
+    # ---- differentiable winner recompute (camera/geometry gradients)
     hit = best_t < INF
     is_s = best_prim < n_sph
     sp = jnp.clip(best_prim, 0, max(n_sph - 1, 0))
-    t_safe = jnp.where(hit, best_t, 1.0)
-    p = origins + t_safe[:, None] * directions
-    sph_n = vm.normalize(p - spheres.centers[sp])
+    center = spheres.centers[sp]
+    oc = o_diff - center
+    half_b = jnp.sum(oc * d_diff, axis=-1)
+    c = jnp.sum(oc * oc, axis=-1) - spheres.radii[sp] ** 2
+    disc = half_b * half_b - c
+    # sqrt at 0 has an infinite derivative; guard the unselected lanes so
+    # the masked-out branch cannot poison gradients with 0*inf = NaN
+    sqrtd = jnp.sqrt(jnp.where(disc > 0.0, disc, 1.0))
+    root0 = -half_b - sqrtd
+    root1 = -half_b + sqrtd
+    t_s = jnp.where(root0 > t_min, root0, root1)
+    t_safe = jnp.where(hit & is_s, t_s, 1.0)
+    p = o_diff + t_safe[:, None] * d_diff
+    sph_n = vm.normalize(p - center)
     if n_tris > 0:
         tp = jnp.clip(best_prim - n_sph, 0, n_tris - 1)
-        normal = jnp.where(is_s[:, None], sph_n, tris.normal[tp])
-        material = jnp.where(
-            is_s, spheres.material[sp], tris.material[tp]
-        )
+        tri = _winner_triangle_hit(tris, tp, hit & ~is_s, o_diff, d_diff)
+        t_out = jnp.where(is_s, jnp.where(hit, t_s, INF), tri.t)
+        normal = jnp.where(is_s[:, None], sph_n, tri.normal)
+        material = jnp.where(is_s, spheres.material[sp], tri.material)
     else:
+        t_out = jnp.where(hit, t_s, INF)
         normal = sph_n
         material = spheres.material[sp]
-    return Hit(t=best_t, normal=normal, material=material, hit=hit)
+    return Hit(t=t_out, normal=normal, material=material, hit=hit)
 
 
 def intersect_bvh_stack(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
@@ -320,6 +379,11 @@ def intersect_bvh_stack(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
     write-discard slot for masked pushes — stack pointer, and running
     nearest-hit registers.
     """
+    o_diff, d_diff = origins, directions
+    origins = jax.lax.stop_gradient(origins)
+    directions = jax.lax.stop_gradient(directions)
+    tris_ng = jax.lax.stop_gradient(tris)
+
     n = origins.shape[0]
     leaf_size = bvh.max_leaf
     rows = jnp.arange(n)
@@ -342,8 +406,8 @@ def intersect_bvh_stack(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
         node = stack[rows, top]
         ptr = jnp.where(active, ptr - 1, ptr)
 
-        nmin = bvh.node_min[node]
-        nmax = bvh.node_max[node]
+        nmin = jax.lax.stop_gradient(bvh.node_min[node])
+        nmax = jax.lax.stop_gradient(bvh.node_max[node])
         box_hit = _slab_test(nmin, nmax, origins, inv_dir, best_t)
         process = active & box_hit
 
@@ -356,9 +420,9 @@ def intersect_bvh_stack(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
             prim_valid = leaf & (j < count)
             slot = jnp.clip(first + j, 0, n_prims - 1)
             prim = bvh.prim_idx[slot]
-            v0 = tris.v0[prim]
-            e1 = tris.e1[prim]
-            e2 = tris.e2[prim]
+            v0 = tris_ng.v0[prim]
+            e1 = tris_ng.e1[prim]
+            e2 = tris_ng.e2[prim]
             pvec = jnp.cross(directions, e2)
             det = vm.dot(e1, pvec)
             det_ok = jnp.abs(det) > 1e-9
@@ -403,10 +467,6 @@ def intersect_bvh_stack(bvh, tris, origins, directions, t_min=T_MIN) -> Hit:
         cond, body, (stack, ptr, best_t, best_prim)
     )
 
-    hit = best_t < INF
-    return Hit(
-        t=best_t,
-        normal=tris.normal[best_prim],
-        material=tris.material[best_prim],
-        hit=hit,
+    return _winner_triangle_hit(
+        tris, best_prim, best_t < INF, o_diff, d_diff
     )
