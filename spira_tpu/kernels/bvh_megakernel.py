@@ -147,6 +147,56 @@ def make_packet_intersect(
     if K > 1 and dummy_row is None:
         raise ValueError("pops_per_iter > 1 requires a dummy_row")
     def intersect(o3, d3, active):
+        # ---- spheres first: their hits seed best_t and cull mesh subtrees
+        dx = d3[0]
+        st = mk.init_hit_state(dx)
+        st = mk.sphere_unroll(spheres, o3, d3, st)
+
+        run_packet_traversal(
+            pairs_ref, tris_ref, stack_ref,
+            bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
+            o3, d3, active, st["best_t"],
+            root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
+            pops_per_iter=pops_per_iter, dummy_row=dummy_row,
+        )
+
+        # ---- resolve traversal registers into the shared hit-state shape
+        t_all = bt_ref[:]
+        mid = mid_ref[:]
+        tri_hit = mid >= 0.0
+        st["best_t"] = t_all
+        st["hit_is_tri"] = tri_hit
+        st["tnx"] = tnx_ref[:]
+        st["tny"] = tny_ref[:]
+        st["tnz"] = tnz_ref[:]
+        for m, fields in enumerate(mats):
+            mk._select_mats(st, tri_hit & (mid == np.float32(m)), fields)
+        return mk.finish_intersect(o3, d3, st)
+
+    return intersect
+
+
+def run_packet_traversal(
+    pairs_ref, tris_ref, stack_ref,
+    bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
+    o3, d3, active, best_t0,
+    *,
+    root: int,
+    rows_per_leaf: int,
+    max_leaf: int,
+    pops_per_iter: int = 1,
+    dummy_row: int | None = None,
+):
+    """The shared packet traversal loop: runs the SMEM-stack tree walk and
+    leaves (best_t, triangle normal, material id) in the scratch refs.
+    ``best_t0`` seeds the search radius (e.g. from a sphere pre-pass);
+    lanes that beat it are triangle hits (``mid >= 0``).  Both the RGB and
+    the spectral packet engines wrap this core with their own material
+    resolve."""
+    K = pops_per_iter
+    if K > 1 and dummy_row is None:
+        raise ValueError("pops_per_iter > 1 requires a dummy_row")
+    if True:  # keep the original body's indentation
         ox, oy, oz = o3
         dx, dy, dz = d3
         n_lanes = int(np.prod(dx.shape))
@@ -156,15 +206,11 @@ def make_packet_intersect(
         # (count0 == PLANE aliases into count1); >= switches to int32 sum
         use_int_reduce = n_lanes >= int(_PLANE)
 
-        # ---- spheres first: their hits seed best_t and cull mesh subtrees
-        st = mk.init_hit_state(dx)
-        st = mk.sphere_unroll(spheres, o3, d3, st)
-
         inv_dx = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, jnp.float32(1e12))
         inv_dy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, jnp.float32(1e12))
         inv_dz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, jnp.float32(1e12))
 
-        bt_ref[:] = st["best_t"]
+        bt_ref[:] = best_t0
         tnx_ref[:] = jnp.zeros_like(dx)
         tny_ref[:] = jnp.zeros_like(dx)
         tnz_ref[:] = jnp.zeros_like(dx)
@@ -372,21 +418,6 @@ def make_packet_intersect(
 
         jax.lax.while_loop(cond, body, sp0)
 
-        # ---- resolve traversal registers into the shared hit-state shape
-        t_all = bt_ref[:]
-        mid = mid_ref[:]
-        tri_hit = mid >= 0.0
-        st["best_t"] = t_all
-        st["hit_is_tri"] = tri_hit
-        st["tnx"] = tnx_ref[:]
-        st["tny"] = tny_ref[:]
-        st["tnz"] = tnz_ref[:]
-        for m, fields in enumerate(mats):
-            mk._select_mats(st, tri_hit & (mid == np.float32(m)), fields)
-        return mk.finish_intersect(o3, d3, st)
-
-    return intersect
-
 
 def _kernel(
     seed_ref, cam_ref, mat_ref, sph_ref, pairs_ref, tris_ref,
@@ -394,12 +425,13 @@ def _kernel(
     stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
     *, spp, max_depth, width, height, n_spheres, n_mats, root,
     rows_per_leaf, max_leaf, inclusive_uv, tile_h, pops_per_iter, dummy_row,
+    has_lens=False,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
     row = i * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0)
     col = j * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1)
-    cam = tuple(cam_ref[0, k] for k in range(12))
+    cam = mk.cam_tuple(cam_ref, has_lens)
     spheres = [
         tuple(sph_ref[k, f] for f in range(14)) for k in range(n_spheres)
     ]
@@ -581,6 +613,7 @@ def _launch(
         rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
         inclusive_uv=inclusive_uv, tile_h=tile_h,
         pops_per_iter=pops_per_iter, dummy_row=packed.pairs.shape[0],
+        has_lens=camera.has_lens,
     )
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     block = pl.BlockSpec(

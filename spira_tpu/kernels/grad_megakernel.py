@@ -1,4 +1,15 @@
-"""Fused forward+backward path-trace megakernel (Pallas TPU).
+"""Fused forward+backward path-trace megakernel (Pallas TPU) — RETIRED
+EXPERIMENT.
+
+STATUS: this kernel is a documented demonstrator, NOT the supported fast
+gradient path.  It is limited to <=16 spheres (sphere scenes only) and
+measured latency-bound at 154-232 Mrays/s — slower than the production
+route.  The ONE supported fast differentiable step is
+``megakernel.render_flat_hybrid_grad`` (Pallas forward + fused-XLA
+path-replay backward via custom_vjp; bench.py headline).  Kept because the
+in-kernel `jax.vjp` replay pattern (phase 2 below) is the starting point
+for a future all-Pallas backward; see docs/ARCHITECTURE.md "gradient
+engines".
 
 BASELINE's north star is "forward+backward at speed-of-light per chip".
 Round 1 ran backward as the fused-XLA VJP (358 Mrays/s vs the Pallas

@@ -266,7 +266,7 @@ def trace_tile(
     overrides the nearest-hit query — the packet-BVH megakernel plugs its
     traversal in here and shares the exact shading/scatter math below.
     """
-    (ox0, oy0, oz0, llcx, llcy, llcz, hx, hy, hz, vx, vy, vz) = cam
+    (ox0, oy0, oz0, llcx, llcy, llcz, hx, hy, hz, vx, vy, vz) = cam[:12]
     if intersect_fn is None:
         intersect_fn = make_brute_intersect(spheres, triangles)
 
@@ -281,16 +281,34 @@ def trace_tile(
         s = s + sample_offset
         s32 = s.astype(jnp.uint32) if hasattr(s, "astype") else np.uint32(s)
 
-        ju, jv, _, _ = pcg.uniform4(pixel, s32, stream_id(s32, 0, 0), seed)
+        ju, jv, lu1, lu2 = pcg.uniform4(pixel, s32, stream_id(s32, 0, 0), seed)
         u = (col_f + ju) / du
         v = (row_f + jv) / dv
         dx = llcx + u * hx + v * vx - ox0
         dy = llcy + u * hy + v * vy - oy0
         dz = llcz + u * hz + v * vz - oz0
-        dx, dy, dz = _norm3(dx, dy, dz)
-        ox = jnp.zeros_like(dx) + ox0
-        oy = jnp.zeros_like(dx) + oy0
-        oz = jnp.zeros_like(dx) + oz0
+        if len(cam) >= 19:
+            # thin-lens: polar disk sample from the raygen draw's two spare
+            # outputs, offset along the camera's u/v basis (the fused-engine
+            # form of /root/reference/examples/julia-raytracer.jl:290-295)
+            (cux, cuy, cuz, cvx, cvy, cvz, lr) = cam[12:19]
+            rad = lr * jnp.sqrt(lu1)
+            phi = np.float32(2.0 * np.pi) * lu2
+            cp = jnp.cos(phi)
+            sp_ = jnp.sin(phi)
+            offx = rad * (cp * cux + sp_ * cvx)
+            offy = rad * (cp * cuy + sp_ * cvy)
+            offz = rad * (cp * cuz + sp_ * cvz)
+            dx, dy, dz = dx - offx, dy - offy, dz - offz
+            dx, dy, dz = _norm3(dx, dy, dz)
+            ox = ox0 + offx
+            oy = oy0 + offy
+            oz = oz0 + offz
+        else:
+            dx, dy, dz = _norm3(dx, dy, dz)
+            ox = jnp.zeros_like(dx) + ox0
+            oy = jnp.zeros_like(dx) + oy0
+            oz = jnp.zeros_like(dx) + oz0
 
         tr = jnp.ones_like(dx)
         tg = jnp.ones_like(dx)
@@ -479,6 +497,7 @@ def trace_tile(
 def _kernel(
     seed_ref, cam_ref, sph_ref, tri_ref, out_r, out_g, out_b, *, spp,
     max_depth, width, height, n_spheres, n_tris, inclusive_uv,
+    has_lens=False,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -488,7 +507,7 @@ def _kernel(
     col = j * TILE_W + jax.lax.broadcasted_iota(
         jnp.int32, (TILE_H, TILE_W), 1
     )
-    cam = tuple(cam_ref[0, k] for k in range(12))
+    cam = cam_tuple(cam_ref, has_lens)
     spheres = [
         tuple(sph_ref[k, f] for f in range(14)) for k in range(n_spheres)
     ]
@@ -579,24 +598,39 @@ def pack_scene(scene) -> np.ndarray:
 
 
 def pack_camera_jnp(camera):
-    """Traced (1, 16) camera record (differentiable in the camera frame)."""
+    """Traced (1, 20) camera record (differentiable in the camera frame):
+    origin, llc, horizontal, vertical, lens u/v basis, lens_radius, pad."""
     return jnp.concatenate(
         [
             camera.origin,
             camera.lower_left_corner,
             camera.horizontal,
             camera.vertical,
-            jnp.zeros(4, jnp.float32),
+            camera.u,
+            camera.v,
+            jnp.reshape(camera.lens_radius, (1,)),
+            jnp.zeros(1, jnp.float32),
         ]
     )[None, :]
 
 
+def cam_tuple(cam_arr, has_lens: bool):
+    """Scalar camera tuple for the tracers: 12 pinhole fields, or 19 with
+    the thin-lens extension (u, v basis + lens_radius).  ``has_lens`` is the
+    camera's static construction flag — pinhole renders keep the exact
+    12-field raygen (bit-identical to pre-lens builds)."""
+    return tuple(cam_arr[0, k] for k in range(19 if has_lens else 12))
+
+
 def pack_camera(camera) -> np.ndarray:
-    out = np.zeros((1, 16), np.float32)
+    out = np.zeros((1, 20), np.float32)
     out[0, 0:3] = np.asarray(camera.origin)
     out[0, 3:6] = np.asarray(camera.lower_left_corner)
     out[0, 6:9] = np.asarray(camera.horizontal)
     out[0, 9:12] = np.asarray(camera.vertical)
+    out[0, 12:15] = np.asarray(camera.u)
+    out[0, 15:18] = np.asarray(camera.v)
+    out[0, 18] = np.asarray(camera.lens_radius)
     return out
 
 
@@ -635,6 +669,7 @@ def _launch(
         n_spheres=n_spheres,
         n_tris=n_tris,
         inclusive_uv=inclusive_uv,
+        has_lens=camera.has_lens,
     )
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     block = pl.BlockSpec(
@@ -713,7 +748,7 @@ def _fused_xla(
     w_pad = pl.cdiv(width, TILE_W) * TILE_W
     row = jax.lax.broadcasted_iota(jnp.int32, (h_pad, w_pad), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (h_pad, w_pad), 1)
-    cam = tuple(cam_arr[0, k] for k in range(12))
+    cam = cam_tuple(cam_arr, camera.has_lens)
     spheres = [
         tuple(sph_arr[k, f] for f in range(14)) for k in range(n_spheres)
     ]
@@ -798,11 +833,7 @@ def fused_rows(
     """
     row = row_start + jax.lax.broadcasted_iota(jnp.int32, (n_rows, width), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (n_rows, width), 1)
-    cam_arr = jnp.concatenate(
-        [camera.origin, camera.lower_left_corner, camera.horizontal,
-         camera.vertical]
-    )
-    cam = tuple(cam_arr[k] for k in range(12))
+    cam = cam_tuple(pack_camera_jnp(camera), camera.has_lens)
     sph_arr = pack_scene_jnp(scene)
     spheres = [
         tuple(sph_arr[k, f] for f in range(14))

@@ -206,7 +206,7 @@ def _kernel(
     seed_ref, cam_ref, mat_ref, sph_ref, cuv_ref, ct_ref, cpay_ref,
     out_r, out_g, out_b,
     *, spp, max_depth, width, height, n_spheres, n_mats, n_blocks,
-    inclusive_uv,
+    inclusive_uv, has_lens=False,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -216,7 +216,7 @@ def _kernel(
     col = j * TILE_W + jax.lax.broadcasted_iota(
         jnp.int32, (TILE_H, TILE_W), 1
     )
-    cam = tuple(cam_ref[0, k] for k in range(12))
+    cam = mk.cam_tuple(cam_ref, has_lens)
     spheres = [
         tuple(sph_ref[k, f] for f in range(14)) for k in range(n_spheres)
     ]
@@ -347,7 +347,7 @@ def _launch(
         _kernel,
         spp=spp, max_depth=max_depth, width=width, height=height,
         n_spheres=n_spheres, n_mats=n_mats, n_blocks=n_blocks,
-        inclusive_uv=inclusive_uv,
+        inclusive_uv=inclusive_uv, has_lens=camera.has_lens,
     )
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     block = pl.BlockSpec(

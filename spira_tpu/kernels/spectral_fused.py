@@ -63,6 +63,7 @@ _S_FUZZ = 2
 _S_GLASS = 3
 _N_STREAMS = 3
 _S_WAVELENGTH = 10_000  # one-off stream for hero-λ selection
+_S_LENS = 10_001  # one-off stream for the thin-lens disk sample
 
 
 def _cheb(coeffs, x):
@@ -77,6 +78,143 @@ def _cheb(coeffs, x):
 _SKY_WHITE = tuple(np.asarray(cl.SMITS_CHEB["white"], np.float32))
 _SKY_CYAN = tuple(np.asarray(cl.SMITS_CHEB["cyan"], np.float32))
 _SKY_BLUE = tuple(np.asarray(cl.SMITS_CHEB["blue"], np.float32))
+
+
+def make_brute_intersect_spectral(spheres, triangles):
+    """Static-unroll nearest-hit over spectral primitive tuples.
+
+    Returns ``intersect(o3, d3, active) -> (hit, t_safe, n3, smats)`` where
+    ``t_safe`` is the hit distance (1.0 on miss), ``n3`` the geometric
+    normal pre-face-forward ((0,1,0) on miss), and ``smats`` the per-lane
+    material bundle ``(metal, rough, ior, trans, cauchy, alb_cheb[D],
+    emi_cheb[D])``.  This is the default hook of
+    :func:`trace_tile_spectral`; the packet-BVH engine substitutes its
+    traversal here (mirroring the RGB tracer's ``intersect_fn``)."""
+
+    def intersect(o3, d3, active=None):
+        ox, oy, oz = o3
+        dx, dy, dz = d3
+        best_t = jnp.full_like(dx, INF)
+        ncx = jnp.zeros_like(dx)
+        ncy = jnp.zeros_like(dx)
+        ncz = jnp.zeros_like(dx)
+        inv_r = jnp.zeros_like(dx)
+        m_metal = jnp.zeros_like(dx)
+        m_rough = jnp.zeros_like(dx)
+        m_ior = jnp.ones_like(dx)
+        m_trans = jnp.zeros_like(dx)
+        m_cauchy = jnp.zeros_like(dx)
+        m_alb = [jnp.zeros_like(dx) for _ in range(D)]
+        m_emi = [jnp.zeros_like(dx) for _ in range(D)]
+        hit_is_tri = jnp.zeros_like(dx, dtype=jnp.bool_)
+        tnx = jnp.zeros_like(dx)
+        tny = jnp.zeros_like(dx)
+        tnz = jnp.zeros_like(dx)
+
+        for sph in spheres:
+            cx, cy, cz, r = sph[0], sph[1], sph[2], sph[3]
+            met, rough, ior, trans, cauchy = (
+                sph[4], sph[5], sph[6], sph[7], sph[8],
+            )
+            alb_c = sph[9 : 9 + D]
+            emi_c = sph[9 + D : 9 + 2 * D]
+            ocx = ox - cx
+            ocy = oy - cy
+            ocz = oz - cz
+            half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
+            c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
+            disc = half_b * half_b - c
+            disc_ok = disc > 0.0
+            sqrtd = jnp.where(
+                disc_ok, jnp.sqrt(jnp.where(disc_ok, disc, 1.0)), 0.0
+            )
+            root0 = -half_b - sqrtd
+            root1 = -half_b + sqrtd
+            root = _select(root0 > T_MIN, root0, root1)
+            hit_k = disc_ok & (root > T_MIN) & (root < best_t)
+            best_t = _select(hit_k, root, best_t)
+            ncx = _select(hit_k, cx, ncx)
+            ncy = _select(hit_k, cy, ncy)
+            ncz = _select(hit_k, cz, ncz)
+            inv_r = _select(hit_k, 1.0 / r, inv_r)
+            m_metal = _select(hit_k, met, m_metal)
+            m_rough = _select(hit_k, rough, m_rough)
+            m_ior = _select(hit_k, ior, m_ior)
+            m_trans = _select(hit_k, trans, m_trans)
+            m_cauchy = _select(hit_k, cauchy, m_cauchy)
+            m_alb = [_select(hit_k, a, m) for a, m in zip(alb_c, m_alb)]
+            m_emi = [_select(hit_k, e, m) for e, m in zip(emi_c, m_emi)]
+            hit_is_tri = hit_is_tri & ~hit_k
+
+        for tri in triangles:
+            (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, nxc, nyc,
+             nzc) = tri[:12]
+            met, rough, ior, trans, cauchy = (
+                tri[12], tri[13], tri[14], tri[15], tri[16],
+            )
+            alb_c = tri[17 : 17 + D]
+            emi_c = tri[17 + D : 17 + 2 * D]
+            pvx = dy * e2z - dz * e2y
+            pvy = dz * e2x - dx * e2z
+            pvz = dx * e2y - dy * e2x
+            det = e1x * pvx + e1y * pvy + e1z * pvz
+            det_ok = jnp.abs(det) > 1e-12
+            inv_det = jnp.where(
+                det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
+            )
+            tvx = ox - v0x
+            tvy = oy - v0y
+            tvz = oz - v0z
+            uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            qvx = tvy * e1z - tvz * e1y
+            qvy = tvz * e1x - tvx * e1z
+            qvz = tvx * e1y - tvy * e1x
+            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+            hit_k = (
+                det_ok
+                & (jnp.abs(det) > 1e-9)
+                & (uu >= 0.0)
+                & (vv >= 0.0)
+                & (uu + vv <= 1.0)
+                & (tt > T_MIN)
+                & (tt < best_t)
+            )
+            best_t = _select(hit_k, tt, best_t)
+            tnx = _select(hit_k, nxc, tnx)
+            tny = _select(hit_k, nyc, tny)
+            tnz = _select(hit_k, nzc, tnz)
+            hit_is_tri = hit_is_tri | hit_k
+            m_metal = _select(hit_k, met, m_metal)
+            m_rough = _select(hit_k, rough, m_rough)
+            m_ior = _select(hit_k, ior, m_ior)
+            m_trans = _select(hit_k, trans, m_trans)
+            m_cauchy = _select(hit_k, cauchy, m_cauchy)
+            m_alb = [_select(hit_k, a, m) for a, m in zip(alb_c, m_alb)]
+            m_emi = [_select(hit_k, e, m) for e, m in zip(emi_c, m_emi)]
+
+        hit = best_t < INF
+        best_t = _select(hit, best_t, 1.0)
+        px = ox + best_t * dx
+        py = oy + best_t * dy
+        pz = oz + best_t * dz
+        nx = (px - ncx) * inv_r
+        ny = (py - ncy) * inv_r
+        nz = (pz - ncz) * inv_r
+        nx, ny, nz = _norm3(nx, ny, nz)
+        nx = _select(hit_is_tri, tnx, nx)
+        ny = _select(hit_is_tri, tny, ny)
+        nz = _select(hit_is_tri, tnz, nz)
+        nx = _select(hit, nx, 0.0)
+        ny = _select(hit, ny, 1.0)
+        nz = _select(hit, nz, 0.0)
+        smats = (
+            m_metal, m_rough, m_ior, m_trans, m_cauchy,
+            tuple(m_alb), tuple(m_emi),
+        )
+        return hit, best_t, (nx, ny, nz), smats
+
+    return intersect
 
 
 def trace_tile_spectral(
@@ -94,6 +232,7 @@ def trace_tile_spectral(
     dv: float,
     remat: bool = True,
     sample_offset=0,
+    intersect_fn=None,
 ):
     """Spectral transport for a tile of pixels; returns summed XYZ
     (x, y, z) tile arrays.
@@ -102,8 +241,14 @@ def trace_tile_spectral(
     cauchy_b, alb_cheb[D], emi_cheb[D]); triangles likewise with
     (v0, e1, e2, n) geometry prefix.  Packed by
     :func:`pack_scene_spectral`.
+
+    ``intersect_fn`` (see :func:`make_brute_intersect_spectral` for the
+    contract) overrides the nearest-hit query — the spectral packet-BVH
+    engine plugs its traversal in here and shares the shading below.
     """
-    (ox0, oy0, oz0, llcx, llcy, llcz, hx, hy, hz, vx, vy, vz) = cam
+    (ox0, oy0, oz0, llcx, llcy, llcz, hx, hy, hz, vx, vy, vz) = cam[:12]
+    if intersect_fn is None:
+        intersect_fn = make_brute_intersect_spectral(spheres, triangles)
 
     def stream_id(s, b, which):
         return s * np.uint32(max_depth * _N_STREAMS + 1) + np.uint32(
@@ -137,10 +282,30 @@ def trace_tile_spectral(
         dx = llcx + u * hx + v * vx - ox0
         dy = llcy + u * hy + v * vy - oy0
         dz = llcz + u * hz + v * vz - oz0
-        dx, dy, dz = _norm3(dx, dy, dz)
-        ox = jnp.zeros_like(dx) + ox0
-        oy = jnp.zeros_like(dx) + oy0
-        oz = jnp.zeros_like(dx) + oz0
+        if len(cam) >= 19:
+            # thin-lens raygen (dedicated one-off stream; the wavelength
+            # draw has only one spare output)
+            lu1, lu2, _, _ = pcg.uniform4(
+                pixel, s32, jnp.uint32(_S_LENS) + s32 * 0, seed
+            )
+            (cux, cuy, cuz, cvx, cvy, cvz, lr) = cam[12:19]
+            rad = lr * jnp.sqrt(lu1)
+            phi = np.float32(2.0 * np.pi) * lu2
+            cp = jnp.cos(phi)
+            sp_ = jnp.sin(phi)
+            offx = rad * (cp * cux + sp_ * cvx)
+            offy = rad * (cp * cuy + sp_ * cvy)
+            offz = rad * (cp * cuz + sp_ * cvz)
+            dx, dy, dz = dx - offx, dy - offy, dz - offz
+            dx, dy, dz = _norm3(dx, dy, dz)
+            ox = ox0 + offx
+            oy = oy0 + offy
+            oz = oz0 + offz
+        else:
+            dx, dy, dz = _norm3(dx, dy, dz)
+            ox = jnp.zeros_like(dx) + ox0
+            oy = jnp.zeros_like(dx) + oy0
+            oz = jnp.zeros_like(dx) + oz0
 
         thr = [jnp.ones_like(dx) for _ in range(W)]
         rad = [jnp.zeros_like(dx) for _ in range(W)]
@@ -148,108 +313,12 @@ def trace_tile_spectral(
         collapsed = jnp.zeros_like(dx, dtype=jnp.bool_)
 
         for b in range(max_depth):
-            # ---- nearest hit over static primitive unrolls
-            best_t = jnp.full_like(dx, INF)
-            ncx = jnp.zeros_like(dx)
-            ncy = jnp.zeros_like(dx)
-            ncz = jnp.zeros_like(dx)
-            inv_r = jnp.zeros_like(dx)
-            m_metal = jnp.zeros_like(dx)
-            m_rough = jnp.zeros_like(dx)
-            m_ior = jnp.ones_like(dx)
-            m_trans = jnp.zeros_like(dx)
-            m_cauchy = jnp.zeros_like(dx)
-            m_alb = [jnp.zeros_like(dx) for _ in range(D)]
-            m_emi = [jnp.zeros_like(dx) for _ in range(D)]
-            hit_is_tri = jnp.zeros_like(dx, dtype=jnp.bool_)
-            tnx = jnp.zeros_like(dx)
-            tny = jnp.zeros_like(dx)
-            tnz = jnp.zeros_like(dx)
-
-            for sph in spheres:
-                cx, cy, cz, r = sph[0], sph[1], sph[2], sph[3]
-                met, rough, ior, trans, cauchy = (
-                    sph[4], sph[5], sph[6], sph[7], sph[8],
-                )
-                alb_c = sph[9 : 9 + D]
-                emi_c = sph[9 + D : 9 + 2 * D]
-                ocx = ox - cx
-                ocy = oy - cy
-                ocz = oz - cz
-                half_b = _dot3(ocx, ocy, ocz, dx, dy, dz)
-                c = _dot3(ocx, ocy, ocz, ocx, ocy, ocz) - r * r
-                disc = half_b * half_b - c
-                disc_ok = disc > 0.0
-                sqrtd = jnp.where(
-                    disc_ok, jnp.sqrt(jnp.where(disc_ok, disc, 1.0)), 0.0
-                )
-                root0 = -half_b - sqrtd
-                root1 = -half_b + sqrtd
-                root = _select(root0 > T_MIN, root0, root1)
-                hit_k = disc_ok & (root > T_MIN) & (root < best_t)
-                best_t = _select(hit_k, root, best_t)
-                ncx = _select(hit_k, cx, ncx)
-                ncy = _select(hit_k, cy, ncy)
-                ncz = _select(hit_k, cz, ncz)
-                inv_r = _select(hit_k, 1.0 / r, inv_r)
-                m_metal = _select(hit_k, met, m_metal)
-                m_rough = _select(hit_k, rough, m_rough)
-                m_ior = _select(hit_k, ior, m_ior)
-                m_trans = _select(hit_k, trans, m_trans)
-                m_cauchy = _select(hit_k, cauchy, m_cauchy)
-                m_alb = [_select(hit_k, a, m) for a, m in zip(alb_c, m_alb)]
-                m_emi = [_select(hit_k, e, m) for e, m in zip(emi_c, m_emi)]
-                hit_is_tri = hit_is_tri & ~hit_k
-
-            for tri in triangles:
-                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, nxc, nyc,
-                 nzc) = tri[:12]
-                met, rough, ior, trans, cauchy = (
-                    tri[12], tri[13], tri[14], tri[15], tri[16],
-                )
-                alb_c = tri[17 : 17 + D]
-                emi_c = tri[17 + D : 17 + 2 * D]
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                det_ok = jnp.abs(det) > 1e-12
-                inv_det = jnp.where(
-                    det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
-                )
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                uu = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                hit_k = (
-                    det_ok
-                    & (jnp.abs(det) > 1e-9)
-                    & (uu >= 0.0)
-                    & (vv >= 0.0)
-                    & (uu + vv <= 1.0)
-                    & (tt > T_MIN)
-                    & (tt < best_t)
-                )
-                best_t = _select(hit_k, tt, best_t)
-                tnx = _select(hit_k, nxc, tnx)
-                tny = _select(hit_k, nyc, tny)
-                tnz = _select(hit_k, nzc, tnz)
-                hit_is_tri = hit_is_tri | hit_k
-                m_metal = _select(hit_k, met, m_metal)
-                m_rough = _select(hit_k, rough, m_rough)
-                m_ior = _select(hit_k, ior, m_ior)
-                m_trans = _select(hit_k, trans, m_trans)
-                m_cauchy = _select(hit_k, cauchy, m_cauchy)
-                m_alb = [_select(hit_k, a, m) for a, m in zip(alb_c, m_alb)]
-                m_emi = [_select(hit_k, e, m) for e, m in zip(emi_c, m_emi)]
-
-            hit = best_t < INF
-            best_t = _select(hit, best_t, 1.0)
+            # ---- nearest hit (brute static unroll or the plugged-in BVH)
+            hit, best_t, (nx, ny, nz), smats = intersect_fn(
+                (ox, oy, oz), (dx, dy, dz), alive
+            )
+            (m_metal, m_rough, m_ior, m_trans, m_cauchy,
+             m_alb, m_emi) = smats
 
             # ---- sky: single-ordering Smits blend (r <= g <= b always)
             t_sky = 0.5 * (dy + 1.0)
@@ -276,20 +345,10 @@ def trace_tile_spectral(
                 rad[j] = rad[j] + _select(live, thr[j] * emi_j, 0.0)
                 alb_lam.append(jnp.maximum(_cheb(m_alb, lam_x[j]), 0.0))
 
-            # ---- geometry + normals
+            # ---- geometry (normals come resolved from intersect_fn)
             px = ox + best_t * dx
             py = oy + best_t * dy
             pz = oz + best_t * dz
-            nx = (px - ncx) * inv_r
-            ny = (py - ncy) * inv_r
-            nz = (pz - ncz) * inv_r
-            nx, ny, nz = _norm3(nx, ny, nz)
-            nx = _select(hit_is_tri, tnx, nx)
-            ny = _select(hit_is_tri, tny, ny)
-            nz = _select(hit_is_tri, tnz, nz)
-            nx = _select(hit, nx, 0.0)
-            ny = _select(hit, ny, 1.0)
-            nz = _select(hit, nz, 0.0)
             entering = _dot3(dx, dy, dz, nx, ny, nz) < 0.0
             sgn = _select(entering, 1.0, -1.0)
             nx, ny, nz = nx * sgn, ny * sgn, nz * sgn
@@ -521,7 +580,9 @@ def _fused_spectral_xla(
     w_pad = pl.cdiv(width, TILE_W) * TILE_W
     row = jax.lax.broadcasted_iota(jnp.int32, (h_pad, w_pad), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (h_pad, w_pad), 1)
-    cam = tuple(cam_arr[0, k] for k in range(12))
+    from .megakernel import cam_tuple
+
+    cam = cam_tuple(cam_arr, camera.has_lens)
     spheres = [
         tuple(sph_arr[k, f] for f in range(N_SPH_SPEC))
         for k in range(n_spheres)
@@ -589,12 +650,15 @@ def render_flat_fused_spectral(
 def _spectral_kernel(
     seed_ref, cam_ref, sph_ref, tri_ref, out_x, out_y, out_z,
     *, spp, max_depth, width, height, n_spheres, n_tris, inclusive_uv,
+    has_lens=False,
 ):
+    from .megakernel import cam_tuple
+
     i = pl.program_id(0)
     j = pl.program_id(1)
     row = i * TILE_H + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0)
     col = j * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1)
-    cam = tuple(cam_ref[0, k] for k in range(12))
+    cam = cam_tuple(cam_ref, has_lens)
     spheres = [
         tuple(sph_ref[k, f] for f in range(N_SPH_SPEC))
         for k in range(n_spheres)
@@ -644,6 +708,7 @@ def _launch_spectral(
         _spectral_kernel,
         spp=spp, max_depth=max_depth, width=width, height=height,
         n_spheres=n_spheres, n_tris=n_tris, inclusive_uv=inclusive_uv,
+        has_lens=camera.has_lens,
     )
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     block = pl.BlockSpec(

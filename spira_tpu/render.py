@@ -145,6 +145,8 @@ def select_engine(
     * ``pallas``     — fused Pallas megakernel (TPU; small scenes, physical)
     * ``pallas_bvh`` — packet-traversal BVH megakernel (TPU; mesh scenes
       with packed pair tables, physical)
+    * ``pallas_spectral_bvh`` — the spectral packet kernel (TPU; packed
+      mesh scenes with spectral transport in one dispatch)
     * ``pallas_mxu`` — streaming superleaf MXU megakernel (explicit only,
       never auto-selected: the packet kernel prunes better at every
       measured mesh size — see kernels/mxu_megakernel.py)
@@ -157,26 +159,23 @@ def select_engine(
         return engine
     from .kernels.megakernel import FUSED_TRI_LIMIT
 
-    has_lens = camera is not None and getattr(camera, "has_lens", False)
     if (
         scene.packed is not None
         and semantics == "physical"
-        and not spectral
-        and not has_lens
         and jax.default_backend() == "tpu"
     ):
-        return "pallas_bvh"
+        # spectral mesh scenes get the spectral packet kernel (one Pallas
+        # dispatch) instead of dropping to the wavefront path
+        return "pallas_spectral_bvh" if spectral else "pallas_bvh"
     fusable = (
         scene.bvh is None
         and scene.triangles.count <= FUSED_TRI_LIMIT
         and (scene.spheres.count + scene.triangles.count) > 0
     )
-    if camera is not None and getattr(camera, "has_lens", False):
-        # fused raygen is pinhole-only (no lens sampling).  `has_lens` is a
-        # static construction-time flag: reading the traced `lens_radius`
-        # here was a blocking device sync per dispatch (~50 ms through the
-        # axon tunnel; the regression class of commit 0fff45e).
-        fusable = False
+    # thin-lens cameras stay on the fast engines: trace_tile's raygen
+    # samples the lens disk from the raygen draw's spare PCG outputs
+    # (camera.has_lens is a static construction-time flag — reading the
+    # traced lens_radius here would be a blocking device sync per dispatch)
     if fusable and semantics == "physical":
         # spectral included: the Chebyshev fused tracer has a Pallas wrapper
         return "pallas" if jax.default_backend() == "tpu" else "fused"
@@ -196,7 +195,19 @@ def render_flat_engine(
     ):
         raise ValueError(
             f"engine {engine!r} renders physical-semantics RGB only; "
-            "use engine='wavefront' (or 'auto') for spectral/reference"
+            "use engine='pallas_spectral_bvh' for spectral mesh scenes, "
+            "or 'wavefront' (or 'auto') for reference semantics"
+        )
+    if engine == "pallas_spectral_bvh":
+        if semantics != "physical":
+            raise ValueError(
+                "pallas_spectral_bvh renders physical semantics only"
+            )
+        from .kernels.spectral_bvh import render_flat_spectral_bvh_megakernel
+
+        return render_flat_spectral_bvh_megakernel(
+            scene, camera, width=width, height=height, spp=spp,
+            max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
         )
     if engine == "pallas_bvh":
         from .kernels.bvh_megakernel import render_flat_bvh_megakernel

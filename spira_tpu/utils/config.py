@@ -59,9 +59,24 @@ class RenderConfig:
         return cls(**d)
 
 
+#: Quality tiers mirroring the reference's config ladder: `quick` is its
+#: smoke-test size (/root/reference/tests/test-metal-optimized.jl:10-13),
+#: `demo` the package main() (/root/reference/src/spira-metal-optimized.jl:
+#: 1494-1497), `quality` the "GPU detected" auto tier
+#: (/root/reference/examples/julia-raytracer-optimized-metal.jl:2348-2353).
+PRESETS = {
+    "quick": dict(width=320, height=180, spp=4, max_depth=2),
+    "demo": dict(width=640, height=360, spp=32, max_depth=4),
+    "quality": dict(width=1280, height=720, spp=100, max_depth=10),
+}
+
+
 def add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--scene", default="default",
                    help="default | cornell | mesh | bunny | path/to/model.obj")
+    p.add_argument("--preset", default=None, choices=sorted(PRESETS),
+                   help="quality tier setting width/height/spp/max-depth "
+                        "(explicit flags still override)")
     p.add_argument("--width", type=int, default=640)
     p.add_argument("--height", type=int, default=360)
     p.add_argument("--spp", type=int, default=32)
@@ -73,7 +88,8 @@ def add_render_args(p: argparse.ArgumentParser) -> None:
                    choices=["full", "preview", "normal"],
                    help="full path tracing, or single-bounce quick looks")
     p.add_argument("--engine", default="auto",
-                   choices=["auto", "pallas", "pallas_bvh", "pallas_mxu",
+                   choices=["auto", "pallas", "pallas_bvh",
+                            "pallas_spectral_bvh", "pallas_mxu",
                             "fused", "wavefront"],
                    help="execution engine (auto picks per scene/backend)")
     p.add_argument("--seed", type=int, default=0)
@@ -94,6 +110,14 @@ def add_render_args(p: argparse.ArgumentParser) -> None:
 
 
 def config_from_args(args: argparse.Namespace) -> RenderConfig:
+    if getattr(args, "preset", None):
+        # a flag the user typed explicitly wins over the preset
+        import sys
+
+        argv = sys.argv[1:]
+        for field, value in PRESETS[args.preset].items():
+            if f"--{field.replace('_', '-')}" not in argv:
+                setattr(args, field, value)
     return RenderConfig(
         scene=args.scene,
         lookfrom=tuple(args.lookfrom),

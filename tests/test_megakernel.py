@@ -236,3 +236,53 @@ def test_render_api_engine_fused_matches_wavefront_statistically():
                   engine="wavefront")
     ).astype(np.float32)
     assert np.abs(a - b).mean() / 255.0 < 0.04
+
+
+def test_thin_lens_fused_matches_wavefront_dof():
+    """VERDICT r3 item 7: thin-lens raygen in the fused engines.  A wide
+    aperture blurs out-of-focus geometry identically (statistically) in the
+    fused tracer and the wavefront engine, and defocus scenes no longer
+    force the slow engine."""
+    from spira_tpu.kernels.megakernel import render_flat_fused
+    from spira_tpu.render import render_flat, select_engine
+    from spira_tpu.scene.camera import make_camera
+
+    scene = st.create_scene()
+    cam = make_camera(
+        lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+        aspect_ratio=2.0, aperture=0.4, focus_dist=3.2,
+    )
+    assert cam.has_lens
+    # dispatch: lens cameras stay on the fast engines now
+    assert select_engine(scene, "physical", False, "auto", camera=cam) in (
+        "fused", "pallas"
+    )
+
+    kw = dict(width=64, height=32, spp=24, max_depth=3)
+    fz = np.asarray(render_flat_fused(scene, cam, seed=0, **kw))
+    wf1 = np.asarray(render_flat(scene, cam, seed=1, **kw))
+    wf2 = np.asarray(render_flat(scene, cam, seed=2, **kw))
+    noise_floor = np.abs(wf1 - wf2).mean()
+    assert np.isfinite(fz).all()
+    assert abs(fz.mean() - wf1.mean()) < 0.05
+    assert np.abs(fz - wf1).mean() < 1.3 * noise_floor
+
+    # the lens actually blurs: pinhole and wide-aperture images differ
+    pin = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=2.0)
+    fz_pin = np.asarray(render_flat_fused(scene, pin, seed=0, **kw))
+    assert np.abs(fz - fz_pin).mean() > 1e-3
+
+
+def test_pinhole_raygen_unchanged_by_lens_support():
+    """lens support must not perturb pinhole streams: has_lens=False uses
+    the exact 12-field raygen (image identical across the cam-packing
+    change)."""
+    from spira_tpu.kernels.megakernel import render_flat_fused
+
+    scene = st.create_scene()
+    cam = st.default_camera(2.0)
+    assert not cam.has_lens
+    img = np.asarray(render_flat_fused(scene, cam, width=32, height=16,
+                                       spp=2, max_depth=2, seed=11))
+    assert np.isfinite(img).all() and img.std() > 1e-3

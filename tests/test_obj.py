@@ -94,3 +94,35 @@ def test_cube_winding_outward():
     c = np.asarray(tris.v0) + (np.asarray(tris.e1) + np.asarray(tris.e2)) / 3
     n = np.asarray(tris.normal)
     assert (np.sum(c * n, axis=1) > 0).all()
+
+
+def test_vendored_obj_through_two_level_bvh_and_packet_kernel():
+    """A real on-disk OBJ (assets/trefoil.obj: 1152 quad faces, v//vn
+    syntax) through the full bunny-tier path: parse -> fan triangulation ->
+    two-level BVH -> packed pair tables -> Pallas packet megakernel
+    (interpret mode).  This is the reference's Pkg test shape
+    (/root/reference/tests/bunny-test.jl:9-44) with a vendored fixture
+    instead of the network download."""
+    import os
+
+    import numpy as np
+
+    from spira_tpu.kernels.bvh_megakernel import render_flat_bvh_megakernel
+    from spira_tpu.scene.bunny import bunny_camera, create_bunny_scene
+
+    path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                        "trefoil.obj")
+    scene, info = create_bunny_scene(obj_path=path, allow_download=False)
+    assert info["source"] != "procedural"
+    assert info["triangles"] == 2 * 1152  # fan-triangulated quads
+    assert scene.packed is not None
+
+    cam = bunny_camera(8.0)
+    img = np.asarray(
+        render_flat_bvh_megakernel(
+            scene, cam, width=128, height=16, spp=1, max_depth=2, seed=0,
+            interpret=True,
+        )
+    )
+    assert np.isfinite(img).all()
+    assert img.std() > 1e-3  # mesh, ground, and sky are all visible

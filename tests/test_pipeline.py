@@ -212,3 +212,17 @@ def test_cli_inverse_smoke(tmp_path):
         ]
     )
     assert rc == 0
+
+
+def test_cli_presets_map_to_reference_tiers():
+    import argparse
+
+    from spira_tpu.utils.config import PRESETS, add_render_args, config_from_args
+
+    p = argparse.ArgumentParser()
+    add_render_args(p)
+    cfg = config_from_args(p.parse_args(["--preset", "quality"]))
+    assert (cfg.width, cfg.height, cfg.spp, cfg.max_depth) == (1280, 720, 100, 10)
+    cfg = config_from_args(p.parse_args(["--preset", "quick"]))
+    assert (cfg.width, cfg.height, cfg.spp) == (320, 180, 4)
+    assert set(PRESETS) == {"quick", "demo", "quality"}
