@@ -420,16 +420,22 @@ def run_packet_traversal(
 
 
 def _kernel(
-    seed_ref, cam_ref, mat_ref, sph_ref, pairs_ref, tris_ref,
+    seed_ref, off_ref, cam_ref, mat_ref, sph_ref, pairs_ref, tris_ref,
     out_r, out_g, out_b,
     stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
     *, spp, max_depth, width, height, n_spheres, n_mats, root,
     rows_per_leaf, max_leaf, inclusive_uv, tile_h, pops_per_iter, dummy_row,
-    has_lens=False,
+    has_lens=False, normalize=True,
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    row = i * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0)
+    # off_ref = (row_start, sample_offset): nonzero under row-range /
+    # spp-sharded rendering (bvh_rows); PCG counters key on the absolute
+    # pixel id and sample index, so images are sharding-invariant
+    row = (
+        i * tile_h + off_ref[0, 0]
+        + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0)
+    )
     col = j * TILE_W + jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1)
     cam = mk.cam_tuple(cam_ref, has_lens)
     spheres = [
@@ -460,8 +466,9 @@ def _kernel(
         dv=np.float32(height - 1 if inclusive_uv else height),
         remat=False,
         intersect_fn=intersect,
+        sample_offset=off_ref[0, 1],
     )
-    inv = np.float32(1.0 / spp)
+    inv = np.float32(1.0 / spp) if normalize else np.float32(1.0)
     out_r[:] = r * inv
     out_g[:] = g * inv
     out_b[:] = b * inv
@@ -577,12 +584,13 @@ def pack_materials_jnp(materials):
     static_argnames=(
         "width", "height", "spp", "max_depth", "n_spheres", "n_mats",
         "inclusive_uv", "interpret", "tile_h", "pops_per_iter",
+        "n_rows", "normalize",
     ),
 )
 def _launch(
-    seed_arr, scene, camera, *, width, height, spp, max_depth,
+    seed_arr, off_arr, scene, camera, *, width, height, spp, max_depth,
     n_spheres, n_mats, inclusive_uv, interpret, tile_h=TILE_H,
-    pops_per_iter=1,
+    pops_per_iter=1, n_rows=None, normalize=True,
 ):
     packed = scene.packed
     # meta fields of the PackedBVH pytree are concrete (part of the jit key)
@@ -601,7 +609,7 @@ def _launch(
     pairs = _with_dummy_row(packed.pairs)
     tri_rows = packed.tri_rows
 
-    grid_h = pl.cdiv(height, tile_h)
+    grid_h = pl.cdiv(n_rows if n_rows is not None else height, tile_h)
     grid_w = pl.cdiv(width, TILE_W)
     h_pad = grid_h * tile_h
     w_pad = grid_w * TILE_W
@@ -613,9 +621,18 @@ def _launch(
         rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
         inclusive_uv=inclusive_uv, tile_h=tile_h,
         pops_per_iter=pops_per_iter, dummy_row=packed.pairs.shape[0],
-        has_lens=camera.has_lens,
+        has_lens=camera.has_lens, normalize=normalize,
     )
-    out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
+    # under shard_map the outputs vary across the mesh axes the inputs do;
+    # jax requires that declared on the out ShapeDtypeStructs (vma)
+    try:
+        vma = jax.typeof(off_arr).vma
+    except AttributeError:  # pragma: no cover - older jax
+        vma = frozenset()
+    if vma:
+        out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32, vma=vma)
+    else:
+        out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     block = pl.BlockSpec(
         (tile_h, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
@@ -631,6 +648,7 @@ def _launch(
         out_shape=(out_shape, out_shape, out_shape),
         in_specs=[
             smem,  # seed
+            smem,  # (row_start, sample_offset)
             smem,  # camera
             smem,  # materials
             smem,  # spheres
@@ -645,7 +663,67 @@ def _launch(
         scratch_shapes=traversal_scratch_shapes(tile_h),
         compiler_params=params,
         interpret=interpret,
-    )(seed_arr, cam_arr, mat_arr, sph_arr, pairs, tri_rows)
+    )(seed_arr, off_arr, cam_arr, mat_arr, sph_arr, pairs, tri_rows)
+
+
+def bvh_rows(
+    scene,
+    camera,
+    *,
+    width: int,
+    height: int,
+    n_rows: int,
+    row_start,
+    sample_offset,
+    spp: int,
+    max_depth: int,
+    seed: int,
+    inclusive_uv: bool = True,
+    interpret: bool = False,
+    tile_h: int = 32,
+    pops_per_iter: int | None = None,
+):
+    """Packet-BVH tracer over a row-range — the shard body of the
+    tile/spp-sharded mesh renderer (the packet twin of
+    ``megakernel.fused_rows``).  PCG counters key on the absolute pixel id
+    and sample index, so the rendered image is sharding-invariant.
+
+    Returns the per-row-range radiance **sum** over its spp range,
+    (n_rows*width, 3).
+    """
+    if scene.packed is None:
+        raise ValueError(
+            "scene has no packed BVH; call spira_tpu.accel.pairs.attach_packed"
+        )
+    if pops_per_iter is None:
+        pops_per_iter = 8 if scene.packed.pairs.shape[0] >= 512 else 1
+    # don't pad a short shard up to a tall packet: pick the smallest legal
+    # packet height covering n_rows (values are tile_h-invariant)
+    while tile_h > 8 and tile_h // 2 >= n_rows:
+        tile_h //= 2
+    off = jnp.stack(
+        [jnp.asarray(row_start, jnp.int32),
+         jnp.asarray(sample_offset, jnp.int32)]
+    )[None, :]
+    r, g, b = _launch(
+        jnp.asarray([[seed]], jnp.int32),
+        off,
+        scene,
+        camera,
+        width=width,
+        height=height,
+        spp=spp,
+        max_depth=max_depth,
+        n_spheres=scene.spheres.count,
+        n_mats=scene.materials.count,
+        inclusive_uv=inclusive_uv,
+        interpret=interpret,
+        tile_h=tile_h,
+        pops_per_iter=pops_per_iter,
+        n_rows=n_rows,
+        normalize=False,
+    )
+    return mk._crop_flat(r, g, b, width, n_rows)
 
 
 def render_flat_bvh_megakernel(
@@ -687,6 +765,7 @@ def render_flat_bvh_megakernel(
         pops_per_iter = 8 if scene.packed.pairs.shape[0] >= 512 else 1
     r, g, b = _launch(
         jnp.asarray([[seed]], jnp.int32),
+        jnp.zeros((1, 2), jnp.int32),
         scene,
         camera,
         width=width,

@@ -59,6 +59,17 @@ def _make_sharded_renderer(
                 dv=float(height - 1 if inclusive_uv else height),
             )
             return jax.lax.psum(acc, "spp") / jnp.float32(spp)
+        if engine in ("pallas_bvh", "pallas_bvh_interpret"):
+            from ..kernels.bvh_megakernel import bvh_rows
+
+            acc = bvh_rows(
+                scene, camera, width=width, height=height,
+                n_rows=rows_per, row_start=t * rows_per,
+                sample_offset=s * spp_per, spp=spp_per,
+                max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
+                interpret=engine.endswith("interpret"),
+            )
+            return jax.lax.psum(acc, "spp") / jnp.float32(spp)
         acc = accumulate_rows(
             scene,
             camera,
@@ -78,7 +89,11 @@ def _make_sharded_renderer(
         return jax.lax.psum(acc, "spp") / jnp.float32(spp)
 
     return jax.jit(
-        shard_map(shard_body, mesh=mesh, in_specs=(P(), P()), out_specs=P("tile"))
+        # check_vma=False: Pallas calls in the shard body (bvh_rows) mix
+        # mesh-varying scalars with replicated tables, which the vma checker
+        # rejects (jax suggests this workaround); psum semantics unchanged
+        shard_map(shard_body, mesh=mesh, in_specs=(P(), P()),
+                  out_specs=P("tile"), check_vma=False)
     )
 
 
@@ -116,6 +131,16 @@ def _make_sharded_chunk(
                 du=float(width - 1 if inclusive_uv else width),
                 dv=float(height - 1 if inclusive_uv else height),
             )
+        elif engine in ("pallas_bvh", "pallas_bvh_interpret"):
+            from ..kernels.bvh_megakernel import bvh_rows
+
+            acc = bvh_rows(
+                scene, camera, width=width, height=height,
+                n_rows=rows_per, row_start=t * rows_per,
+                sample_offset=offset, spp=spp_per, max_depth=max_depth,
+                seed=seed, inclusive_uv=inclusive_uv,
+                interpret=engine.endswith("interpret"),
+            )
         else:
             acc = accumulate_rows(
                 scene, camera, srng.base_key(seed), width=width,
@@ -129,7 +154,7 @@ def _make_sharded_chunk(
     return jax.jit(
         shard_map(
             shard_body, mesh=mesh, in_specs=(P(), P(), P()),
-            out_specs=P("tile"),
+            out_specs=P("tile"), check_vma=False,
         )
     )
 

@@ -234,11 +234,37 @@ def test_inverse_spectral_recovers_albedo_spd():
     assert err1 < 0.5 * err0, f"XYZ error {err0:.3f} -> {err1:.3f}"
 
 
+def test_camera_grad_traces_through_bvh_mesh_fast():
+    """Fast-tier canary for the round-2 bug: jax.grad w.r.t. camera.origin
+    on a BVH mesh scene used to RAISE at TRACE time (lax.while_loop is not
+    reverse-differentiable).  eval_shape exercises the trace without the
+    multi-minute CPU compile; FD parity runs in the slow tier below."""
+    from spira_tpu.core.types import replace as dc_replace
+    from spira_tpu.render import render_flat
+    from spira_tpu.scene.camera import make_camera
+
+    scene = st.create_mesh_scene(subdivisions=2)
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=4.0)
+
+    def loss(origin):
+        c = dc_replace(cam, origin=origin)
+        img = render_flat(scene, c, width=64, height=16, spp=2,
+                          max_depth=2, seed=3)
+        return jnp.mean(img ** 2)
+
+    out = jax.eval_shape(jax.grad(loss), cam.origin)
+    assert out.shape == (3,)
+
+
+@pytest.mark.slow
 def test_camera_gradients_flow_through_bvh_mesh():
     """VERDICT r2 gap: d(loss)/d(camera.origin) used to RAISE on BVH mesh
     scenes (lax.while_loop traversal is not reverse-differentiable).  The
     traversal now runs on gradient-stopped inputs and the winning hit is
-    differentiably recomputed, so camera gradients flow and match FD."""
+    differentiably recomputed, so camera gradients flow and match FD.
+    (Slow tier: the wavefront mesh backward compile alone is ~4 min on
+    the 4-core CPU box.)"""
     from spira_tpu.core.types import replace as dc_replace
     from spira_tpu.render import render_flat
     from spira_tpu.scene.camera import make_camera
@@ -270,6 +296,7 @@ def test_camera_gradients_flow_through_bvh_mesh():
     assert abs(fd - g[k]) <= max(5e-4, 0.1 * abs(fd)), (fd, g[k])
 
 
+@pytest.mark.slow
 def test_mesh_material_gradients_match_fd_through_bvh():
     """FD parity for the mesh material's albedo on a BVH mesh scene
     (VERDICT r2: no grad test touched a BVH scene at all)."""
@@ -305,6 +332,7 @@ def test_mesh_material_gradients_match_fd_through_bvh():
         assert abs(fd - an) <= max(2e-3, 0.06 * abs(fd)), (i, j, fd, an)
 
 
+@pytest.mark.slow
 def test_geometry_gradients_match_fd_through_bvh_traversal():
     """d(hit distance)/d(vertex positions) through the BVH traversal: FD
     parity at the intersect level.  (A radiometric loss has zero *interior*
@@ -358,6 +386,7 @@ def test_geometry_gradients_match_fd_through_bvh_traversal():
     assert np.isfinite(g_cam).all() and np.abs(g_cam).max() > 0
 
 
+@pytest.mark.slow
 def test_shading_normal_gradients_flow_through_bvh_render():
     """Render-level geometry-shading gradients: d(loss)/d(normal table) is
     finite and nonzero through the BVH path (normals steer the scatter
