@@ -94,10 +94,10 @@ def test_spectral_bvh_large_mesh_matches_wavefront_statistically():
     scene = attach_packed(create_mesh_scene(subdivisions=2))  # ~1.6k tris
     cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
                       aspect_ratio=1.0)
-    kw = dict(width=24, height=24, spp=16, max_depth=3)
+    kw = dict(width=16, height=16, spp=8, max_depth=2)
     pk = np.asarray(
         render_flat_spectral_bvh_megakernel(
-            scene, cam, seed=0, interpret=True, **kw
+            scene, cam, seed=0, interpret=True, tile_h=16, **kw
         )
     )
     wf1 = np.asarray(render_flat(scene, cam, seed=1, spectral=True, **kw))
