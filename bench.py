@@ -89,9 +89,14 @@ def wait_for_backend() -> str:
         delay = min(delay * 2, 120.0)
 
 
+_CPU_FALLBACK = False  # set by main(); trims iteration counts
+
+
 def _time(fn, iters, *args):
     import jax
 
+    if _CPU_FALLBACK:
+        iters = min(iters, 2)
     jax.block_until_ready(fn(*args, 0))  # warmup/compile
     t0 = time.perf_counter()
     out = None
@@ -107,6 +112,13 @@ def main() -> None:
     import jax
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+        # emergency fallback: the headline JSON still lands, but trim the
+        # iteration counts and skip the TPU-only tiers so the whole run
+        # fits the driver's budget
+        global _CPU_FALLBACK
+        _CPU_FALLBACK = True
+        os.environ.setdefault("SPIRA_BENCH_PALLAS", "0")
+        os.environ.setdefault("SPIRA_BENCH_MESH", "0")
     import jax.numpy as jnp
 
     import spira_tpu as st
