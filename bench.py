@@ -259,6 +259,20 @@ def main() -> None:
                 f"{rays / dt_mesh / 1e6:.0f} Mrays/s ({dt_mesh * 1e3:.1f} ms)",
                 file=sys.stderr,
             )
+            from spira_tpu.render import render_flat_bvh_sorted
+
+            dt_sorted = _time(
+                lambda i: render_flat_bvh_sorted(
+                    mscene, mcamera, **kw, seed=i
+                ),
+                5,
+            )
+            print(
+                f"fwd sorted bounce-wavefront ({n_tris} tris): "
+                f"{rays / dt_sorted / 1e6:.0f} Mrays/s "
+                f"({dt_sorted * 1e3:.1f} ms)",
+                file=sys.stderr,
+            )
         except Exception as e:  # pragma: no cover - TPU-env guard
             print(f"mesh bench skipped ({e!r})", file=sys.stderr)
 

@@ -46,6 +46,7 @@ def trace(
     semantics: str = "physical",
     russian_roulette: bool = True,
     remat: bool = True,
+    intersect_fn=None,
 ):
     """Estimate radiance for a wavefront of rays.
 
@@ -55,6 +56,9 @@ def trace(
       sample_key: threefry key already folded with the sample index.
       max_depth: static bounce budget.
       semantics: "physical" (MSL megakernel) or "reference" (CPU fallback).
+      intersect_fn: nearest-hit override ``(scene, o, d, alive) -> Hit``
+        (default: :func:`intersect_scene`).  The sorted bounce-wavefront
+        engine plugs the Pallas packet traversal in here.
     Returns (N,3) radiance.
     """
     # Init carries derive from the ray arrays (not fresh constants) so that
@@ -75,6 +79,7 @@ def trace(
         sample_key=sample_key,
         semantics=semantics,
         russian_roulette=russian_roulette,
+        intersect_fn=intersect_fn,
     )
 
     body = lambda carry, b: (step(carry, b), None)
@@ -92,11 +97,15 @@ def trace(
     return radiance
 
 
-def _bounce(carry, bounce_idx, *, scene, sample_key, semantics, russian_roulette):
+def _bounce(carry, bounce_idx, *, scene, sample_key, semantics,
+            russian_roulette, intersect_fn=None):
     o, d, throughput, radiance, alive = carry
     n = o.shape[0]
 
-    hit = intersect_scene(scene, o, d)
+    if intersect_fn is None:
+        hit = intersect_scene(scene, o, d)
+    else:
+        hit = intersect_fn(scene, o, d, alive)
     mat = bsdf.gather_materials(scene.materials, hit.material)
 
     sky = bsdf.sky_color(d)

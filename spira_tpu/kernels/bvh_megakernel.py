@@ -475,7 +475,8 @@ def _kernel(
 
 
 def _intersect_only_kernel(
-    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, pairs_ref, tris_ref,
+    ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
+    pairs_ref, tris_ref,
     out_t, out_nx, out_ny, out_nz, out_mid,
     stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
     *, root, rows_per_leaf, max_leaf, pops_per_iter, dummy_row,
@@ -489,7 +490,9 @@ def _intersect_only_kernel(
     )
     o3 = (ox_ref[:], oy_ref[:], oz_ref[:])
     d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
-    intersect(o3, d3, jnp.ones_like(ox_ref[:], dtype=jnp.bool_))
+    # a packet whose lanes are ALL dead skips traversal entirely — with
+    # dead-ray-clustering sort keys this is free wavefront compaction
+    intersect(o3, d3, act_ref[:] > 0.5)
     # raw traversal results (pre-material-resolve) live in the scratch refs
     out_t[:] = bt_ref[:]
     out_nx[:] = tnx_ref[:]
@@ -502,11 +505,14 @@ def _intersect_only_kernel(
     jax.jit, static_argnames=("interpret", "tile_h", "pops_per_iter")
 )
 def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
-                           pops_per_iter=1):
+                           pops_per_iter=1, active=None):
     n_rows = origins.shape[0] // TILE_W
+    if active is None:
+        active = jnp.ones(origins.shape[0], jnp.float32)
     comps = [
         origins[:, 0], origins[:, 1], origins[:, 2],
         dirs[:, 0], dirs[:, 1], dirs[:, 2],
+        active.astype(jnp.float32),
     ]
     comps = [c.reshape(n_rows, TILE_W) for c in comps]
     grid = (pl.cdiv(n_rows, tile_h),)
@@ -523,12 +529,20 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
     block = pl.BlockSpec(
         (tile_h, TILE_W), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
-    out_shape = jax.ShapeDtypeStruct((n_rows, TILE_W), jnp.float32)
+    try:
+        vma = jax.typeof(origins).vma
+    except AttributeError:  # pragma: no cover - older jax
+        vma = frozenset()
+    if vma:
+        out_shape = jax.ShapeDtypeStruct((n_rows, TILE_W), jnp.float32,
+                                         vma=vma)
+    else:
+        out_shape = jax.ShapeDtypeStruct((n_rows, TILE_W), jnp.float32)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         out_shape=(out_shape,) * 5,
-        in_specs=[block] * 6
+        in_specs=[block] * 7
         + [
             pl.BlockSpec(
                 pairs.shape, lambda i: (0, 0), memory_space=pltpu.VMEM
@@ -780,3 +794,91 @@ def render_flat_bvh_megakernel(
         pops_per_iter=pops_per_iter,
     )
     return mk._crop_flat(r, g, b, width, height)
+
+
+def make_sorted_tile_intersect(
+    *,
+    interpret: bool = False,
+    tile_h: int = 32,
+    pops_per_iter: int | None = None,
+    sort: bool = True,
+):
+    """Build the ``intersect_fn`` for the sorted bounce-wavefront engine.
+
+    The packet kernel's weakness is post-bounce ray divergence: scattered
+    rays in one pixel tile point everywhere, so packet best_t culling
+    collapses.  This provider re-groups the wavefront every bounce —
+    stable-sort by (dead, direction octant) — before handing (128·tile_h)-
+    ray packets to the traversal:
+
+    * direction-coherent packets restore the culling rate (classic
+      wavefront ray sorting; the reference has no analogue — its
+      megakernel simply eats the divergence thread-per-pixel);
+    * dead rays cluster into packets whose traversal is SKIPPED outright
+      (the kernel's any-active gate) — free compaction without compaction.
+
+    Returns ``intersect(scene, o, d, alive) -> Hit``; plugs into
+    ``integrator.path_trace.trace(intersect_fn=...)``.  Forward-only (the
+    traversal is a Pallas kernel): use the wavefront engine for gradients.
+    """
+    from ..integrator.intersect import (
+        Hit,
+        intersect_spheres,
+        merge_hits,
+    )
+
+    def intersect(scene, o, d, alive):
+        packed = scene.packed
+        if packed is None:
+            raise ValueError(
+                "sorted wavefront engine requires a packed BVH "
+                "(spira_tpu.accel.pairs.attach_packed)"
+            )
+        pops = (
+            pops_per_iter
+            if pops_per_iter is not None
+            else (8 if packed.pairs.shape[0] >= 512 else 1)
+        )
+        n = o.shape[0]
+        if sort:
+            octant = (
+                (d[:, 0] < 0).astype(jnp.int32)
+                + 2 * (d[:, 1] < 0).astype(jnp.int32)
+                + 4 * (d[:, 2] < 0).astype(jnp.int32)
+            )
+            key = jnp.where(alive, octant, 8)
+            order = jnp.argsort(key, stable=True)
+        else:
+            order = jnp.arange(n)
+        o_s = o[order]
+        d_s = d[order]
+        act_s = alive[order].astype(jnp.float32)
+
+        pad = (-n) % (tile_h * TILE_W)
+        if pad:
+            o_s = jnp.concatenate([o_s, jnp.zeros((pad, 3), o_s.dtype)])
+            d_s = jnp.concatenate(
+                [d_s, jnp.tile(jnp.asarray([[0.0, 1.0, 0.0]], d_s.dtype),
+                               (pad, 1))]
+            )
+            act_s = jnp.concatenate([act_s, jnp.zeros(pad, jnp.float32)])
+
+        t, nx, ny, nz, mid = _intersect_tile_launch(
+            packed, o_s, d_s, interpret, tile_h=tile_h,
+            pops_per_iter=pops, active=act_s,
+        )
+        inv = jnp.argsort(order)  # position of original ray i in the sort
+        t = t[inv]
+        normal = jnp.stack([nx[inv], ny[inv], nz[inv]], axis=-1)
+        mid = mid[inv].astype(jnp.int32)
+        tri_hit = t < 1e19
+        tri = Hit(
+            t=jnp.where(tri_hit, t, INF),
+            normal=normal,
+            material=jnp.maximum(mid, 0),
+            hit=tri_hit,
+        )
+        sph = intersect_spheres(scene.spheres, o, d)
+        return merge_hits(sph, tri)
+
+    return intersect

@@ -73,6 +73,64 @@ def render_flat(
     ) / jnp.float32(spp)
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "spp", "max_depth", "inclusive_uv",
+        "interpret", "sort", "tile_h", "pops_per_iter",
+    ),
+)
+def render_flat_bvh_sorted(
+    scene,
+    camera,
+    *,
+    width: int,
+    height: int,
+    spp: int = 16,
+    max_depth: int = 4,
+    seed: int = 0,
+    inclusive_uv: bool = True,
+    interpret: bool = False,
+    sort: bool = True,
+    tile_h: int = 32,
+    pops_per_iter: int | None = None,
+):
+    """Sorted bounce-wavefront render: the masked-scan estimator with
+    per-bounce ray regrouping feeding the Pallas packet traversal.
+
+    Every bounce stable-sorts the wavefront by (dead, direction octant)
+    before traversal — scattered rays regain packet coherence and dead
+    rays cluster into packets the kernel skips outright.  Forward-only;
+    requires ``scene.packed``.  Same estimator family as ``render_flat``
+    (threefry streams), so images match the wavefront engine exactly when
+    ``sort=False`` and statistically always.
+    """
+    from .kernels.bvh_megakernel import make_sorted_tile_intersect
+
+    if spp < 1:
+        raise ValueError(f"spp must be >= 1, got {spp}")
+    intersect_fn = make_sorted_tile_intersect(
+        interpret=interpret, tile_h=tile_h, pops_per_iter=pops_per_iter,
+        sort=sort,
+    )
+    base = srng.base_key(seed)
+    return accumulate_rows(
+        scene,
+        camera,
+        base,
+        width=width,
+        height=height,
+        row_start=0,
+        n_rows=height,
+        sample_offset=0,
+        n_samples=spp,
+        max_depth=max_depth,
+        semantics="physical",
+        inclusive_uv=inclusive_uv,
+        intersect_fn=intersect_fn,
+    ) / jnp.float32(spp)
+
+
 def accumulate_rows(
     scene,
     camera,
@@ -88,6 +146,7 @@ def accumulate_rows(
     semantics: str,
     inclusive_uv: bool = True,
     spectral: bool = False,
+    intersect_fn=None,
 ):
     """Sum ``n_samples`` radiance estimates for a row-range of the image.
 
@@ -123,7 +182,7 @@ def accumulate_rows(
         else:
             radiance = trace(
                 scene, origins, dirs, skey, max_depth=max_depth,
-                semantics=semantics,
+                semantics=semantics, intersect_fn=intersect_fn,
             )
         return acc + radiance, None
 
@@ -213,6 +272,11 @@ def render_flat_engine(
         from .kernels.bvh_megakernel import render_flat_bvh_megakernel
 
         return render_flat_bvh_megakernel(
+            scene, camera, width=width, height=height, spp=spp,
+            max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
+        )
+    if engine == "bvh_sorted":
+        return render_flat_bvh_sorted(
             scene, camera, width=width, height=height, spp=spp,
             max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
         )

@@ -90,7 +90,7 @@ def add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "pallas", "pallas_bvh",
                             "pallas_spectral_bvh", "pallas_mxu",
-                            "fused", "wavefront"],
+                            "bvh_sorted", "fused", "wavefront"],
                    help="execution engine (auto picks per scene/backend)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tonemap", default="gamma",

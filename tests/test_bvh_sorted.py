@@ -1,0 +1,35 @@
+"""Sorted bounce-wavefront engine (render_flat_bvh_sorted): per-bounce ray
+regrouping in front of the Pallas packet traversal.
+
+Sorting is a pure work-scheduling choice — a permutation around an
+order-independent per-ray query — so sorted and unsorted images must be
+BIT-identical, and both must match the wavefront engine (identical threefry
+streams; only the traversal implementation differs)."""
+
+import numpy as np
+import pytest
+
+from spira_tpu.accel.pairs import attach_packed
+from spira_tpu.render import render_flat, render_flat_bvh_sorted
+from spira_tpu.scene.camera import make_camera
+from spira_tpu.scene.scene import create_mesh_scene
+
+
+def test_sorted_wavefront_matches_wavefront_and_is_sort_invariant():
+    scene = attach_packed(create_mesh_scene(subdivisions=1))
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=4.0)
+    kw = dict(width=128, height=16, spp=2, max_depth=3, seed=5)
+
+    srt = np.asarray(
+        render_flat_bvh_sorted(scene, cam, interpret=True, tile_h=8, **kw)
+    )
+    uns = np.asarray(
+        render_flat_bvh_sorted(scene, cam, interpret=True, tile_h=8,
+                               sort=False, **kw)
+    )
+    wf = np.asarray(render_flat(scene, cam, **kw))
+
+    assert np.isfinite(srt).all() and srt.std() > 1e-3
+    np.testing.assert_array_equal(srt, uns)  # permutation-invariance
+    np.testing.assert_allclose(srt, wf, rtol=1e-3, atol=1e-4)
