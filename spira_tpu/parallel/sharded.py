@@ -26,6 +26,18 @@ from ..render import accumulate_rows
 
 
 @lru_cache(maxsize=64)
+def _sorted_intersect(engine: str):
+    """intersect_fn for the wavefront shard body: the sorted-packet
+    traversal for engine='bvh_sorted' (+'_interpret'), else the default."""
+    if engine in ("bvh_sorted", "bvh_sorted_interpret"):
+        from ..kernels.bvh_megakernel import make_sorted_tile_intersect
+
+        return make_sorted_tile_intersect(
+            interpret=engine.endswith("interpret")
+        )
+    return None
+
+
 def _make_sharded_renderer(
     width, height, mesh, spp, max_depth, seed, semantics, inclusive_uv,
     spectral, engine,
@@ -84,6 +96,7 @@ def _make_sharded_renderer(
             semantics=semantics,
             inclusive_uv=inclusive_uv,
             spectral=spectral,
+            intersect_fn=_sorted_intersect(engine),
         )
         # Mean over every sample on every spp-shard: one ICI all-reduce.
         return jax.lax.psum(acc, "spp") / jnp.float32(spp)
@@ -148,6 +161,7 @@ def _make_sharded_chunk(
                 sample_offset=offset, n_samples=spp_per, max_depth=max_depth,
                 semantics=semantics, inclusive_uv=inclusive_uv,
                 spectral=spectral,
+                intersect_fn=_sorted_intersect(engine),
             )
         return jax.lax.psum(acc, "spp")
 

@@ -33,3 +33,27 @@ def test_sorted_wavefront_matches_wavefront_and_is_sort_invariant():
     assert np.isfinite(srt).all() and srt.std() > 1e-3
     np.testing.assert_array_equal(srt, uns)  # permutation-invariance
     np.testing.assert_allclose(srt, wf, rtol=1e-3, atol=1e-4)
+
+
+def test_sorted_wavefront_shards_bitwise():
+    """The sorted engine under a 4-device tile mesh matches the wavefront
+    engine (the shard body is accumulate_rows with the packet intersect;
+    threefry keys fold in row_start, so shards decorrelate identically to
+    the plain wavefront sharded path)."""
+    from spira_tpu.parallel.mesh import make_mesh
+    from spira_tpu.parallel.sharded import render_flat_sharded
+
+    scene = attach_packed(create_mesh_scene(subdivisions=1))
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=4.0)
+    kw = dict(width=128, height=16, spp=2, max_depth=2, seed=5)
+    mesh = make_mesh(n_tile=4, n_spp=1)
+    srt = np.asarray(
+        render_flat_sharded(scene, cam, mesh=mesh,
+                            engine="bvh_sorted_interpret", **kw)
+    )
+    wf = np.asarray(
+        render_flat_sharded(scene, cam, mesh=mesh, engine="wavefront", **kw)
+    )
+    assert np.isfinite(srt).all()
+    np.testing.assert_allclose(srt, wf, rtol=1e-3, atol=1e-4)
