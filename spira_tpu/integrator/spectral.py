@@ -53,9 +53,13 @@ def trace_spectral(
     max_depth: int,
     russian_roulette: bool = True,
     remat: bool = True,
+    intersect_fn=None,
 ):
     """Estimate RGB radiance for a wavefront via spectral transport.
 
+    ``intersect_fn`` (``(scene, o, d, alive) -> Hit``) overrides the
+    nearest-hit query, e.g. the sorted-packet traversal
+    (`kernels.bvh_megakernel.make_sorted_tile_intersect`).
     Returns (N, 3) linear sRGB.
     """
     n = origins.shape[0]
@@ -73,7 +77,8 @@ def trace_spectral(
     )
 
     step = partial(_bounce, scene=scene, sample_key=sample_key, lam=lam,
-                   russian_roulette=russian_roulette)
+                   russian_roulette=russian_roulette,
+                   intersect_fn=intersect_fn)
     body = lambda carry, b: (step(carry, b), None)
     if remat:
         body = jax.checkpoint(body)
@@ -85,12 +90,16 @@ def trace_spectral(
     return cl.xyz_to_rgb(xyz)
 
 
-def _bounce(carry, bounce_idx, *, scene, sample_key, lam, russian_roulette):
+def _bounce(carry, bounce_idx, *, scene, sample_key, lam, russian_roulette,
+            intersect_fn=None):
     o, d, throughput, radiance, alive, collapsed = carry
     n = o.shape[0]
     materials = scene.materials
 
-    hit = intersect_scene(scene, o, d)
+    if intersect_fn is None:
+        hit = intersect_scene(scene, o, d)
+    else:
+        hit = intersect_fn(scene, o, d, alive)
     mat = bsdf.gather_materials(materials, hit.material)
 
     # SPD lookups: (N, W) albedo/emission at each carried wavelength.

@@ -77,7 +77,7 @@ def render_flat(
     jax.jit,
     static_argnames=(
         "width", "height", "spp", "max_depth", "inclusive_uv",
-        "interpret", "sort", "tile_h", "pops_per_iter",
+        "interpret", "sort", "tile_h", "pops_per_iter", "spectral",
     ),
 )
 def render_flat_bvh_sorted(
@@ -94,6 +94,7 @@ def render_flat_bvh_sorted(
     sort: bool = True,
     tile_h: int = 32,
     pops_per_iter: int | None = None,
+    spectral: bool = False,
 ):
     """Sorted bounce-wavefront render: the masked-scan estimator with
     per-bounce ray regrouping feeding the Pallas packet traversal.
@@ -127,6 +128,7 @@ def render_flat_bvh_sorted(
         max_depth=max_depth,
         semantics="physical",
         inclusive_uv=inclusive_uv,
+        spectral=spectral,
         intersect_fn=intersect_fn,
     ) / jnp.float32(spp)
 
@@ -177,7 +179,8 @@ def accumulate_rows(
         )
         if spectral:
             radiance = trace_spectral(
-                scene, origins, dirs, skey, max_depth=max_depth
+                scene, origins, dirs, skey, max_depth=max_depth,
+                intersect_fn=intersect_fn,
             )
         else:
             radiance = trace(

@@ -57,3 +57,21 @@ def test_sorted_wavefront_shards_bitwise():
     )
     assert np.isfinite(srt).all()
     np.testing.assert_allclose(srt, wf, rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.slow
+def test_sorted_wavefront_spectral_matches_spectral_wavefront():
+    """Spectral transport through the sorted-packet traversal: identical
+    threefry streams as the plain spectral wavefront, so images match to
+    float tolerance on a packed mesh scene."""
+    scene = attach_packed(create_mesh_scene(subdivisions=1))
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=4.0)
+    kw = dict(width=64, height=16, spp=2, max_depth=2, seed=9)
+    srt = np.asarray(
+        render_flat_bvh_sorted(scene, cam, interpret=True, tile_h=8,
+                               spectral=True, **kw)
+    )
+    wf = np.asarray(render_flat(scene, cam, spectral=True, **kw))
+    assert np.isfinite(srt).all() and srt.std() > 1e-3
+    np.testing.assert_allclose(srt, wf, rtol=1e-3, atol=1e-4)
