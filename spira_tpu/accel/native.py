@@ -63,8 +63,50 @@ def _load_library():
         ctypes.POINTER(ctypes.c_int32),  # is_leaf
         ctypes.POINTER(ctypes.c_int32),  # prim_idx
     ]
+    try:
+        pf = lib.spira_parse_obj
+        pf.restype = ctypes.c_int32
+        pf.argtypes = [
+            ctypes.c_char_p,  # text
+            ctypes.c_long,  # length
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),  # out_verts
+            ctypes.POINTER(ctypes.c_long),  # out_nverts
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_longlong)),  # out_faces
+            ctypes.POINTER(ctypes.c_long),  # out_nfaces
+        ]
+        lib.spira_free.restype = None
+        lib.spira_free.argtypes = [ctypes.c_void_p]
+    except AttributeError:  # stale .so without the parser — rebuild later
+        pass
     _lib = lib
     return _lib
+
+
+def parse_obj_native(text: str):
+    """Parse OBJ text with the C++ parser; returns (verts (V,3) f32,
+    faces (T,3) i64, 0-based, fan-triangulated) or None when the native
+    library (or the symbol) is unavailable / the text holds no triangles."""
+    lib = _load_library()
+    if lib is None or not hasattr(lib, "spira_parse_obj"):
+        return None
+    raw = text.encode("utf-8", errors="replace")
+    vp = ctypes.POINTER(ctypes.c_float)()
+    fp = ctypes.POINTER(ctypes.c_longlong)()
+    nv = ctypes.c_long(0)
+    nf = ctypes.c_long(0)
+    rc = lib.spira_parse_obj(
+        raw, len(raw), ctypes.byref(vp), ctypes.byref(nv),
+        ctypes.byref(fp), ctypes.byref(nf),
+    )
+    if rc != 0:
+        return None
+    try:
+        verts = np.ctypeslib.as_array(vp, shape=(nv.value, 3)).copy()
+        faces = np.ctypeslib.as_array(fp, shape=(nf.value, 3)).copy()
+    finally:
+        lib.spira_free(vp)
+        lib.spira_free(fp)
+    return verts.astype(np.float32), faces.astype(np.int64)
 
 
 def native_available() -> bool:

