@@ -58,7 +58,7 @@ def main() -> None:
     def mesh_scene(leaf):
         from spira_tpu.core.types import replace
 
-        s = create_mesh_scene(subdivisions=3)  # ~5.4k tris
+        s = create_mesh_scene(subdivisions=4)  # 5440 tris (the 5.4k tier)
         bvh, tris = build_two_level([s.triangles], leaf_size=leaf)
         s = replace(s, triangles=tris, bvh=bvh, packed=None)
         return attach_packed(s), dict(triangles=int(tris.count))
