@@ -88,36 +88,13 @@ def _leaf_blocks(v0, e1, e2, nrm, mat):
     return uv, tb, pay
 
 
-def pack_bvh_mxu(bvh, tris, superleaf: int = SUPERLEAF) -> MXUBVH:
-    """Collapse a binary FlatBVH + Triangles into wide nodes + superleaves.
-
-    A binary node becomes a superleaf when its subtree holds ``<= superleaf``
-    triangles (and its parent's doesn't); the internal structure above the
-    cut is 16-wide packed exactly like :func:`spira_tpu.accel.wide.pack_bvh16`.
-    Smaller ``superleaf`` values trade denser box pruning (finer cut boxes)
-    for more block visits; blocks stay 128 lanes wide either way.
+def _cut_and_blocks(left, right, is_leaf, prim_idx, v0, e1, e2, nrm, mat,
+                    kids, n_bin, superleaf):
+    """Superleaf cut + block packing shared by the wide (streaming) and
+    pair-tree packings: returns ``(is_cut, leaf_id, tricount, uv_blocks,
+    t_blocks, pay_blocks)`` where ``leaf_id`` maps cut node -> block index.
     """
-    if not 1 <= superleaf <= SUPERLEAF:
-        raise ValueError(f"superleaf must be in 1..{SUPERLEAF}")
-    node_min = np.asarray(bvh.node_min, np.float32)
-    node_max = np.asarray(bvh.node_max, np.float32)
-    left = np.asarray(bvh.left, np.int64)
-    right = np.asarray(bvh.right, np.int64)
-    is_leaf = np.asarray(bvh.is_leaf, np.int64)
-    prim_idx = np.asarray(bvh.prim_idx, np.int64)
-
-    v0 = np.asarray(tris.v0, np.float32)
-    e1 = np.asarray(tris.e1, np.float32)
-    e2 = np.asarray(tris.e2, np.float32)
-    nrm = np.asarray(tris.normal, np.float32)
-    mat = np.asarray(tris.material, np.float32)
-
-    def kids(i: int):
-        l, r = int(left[i]), int(right[i])
-        return [l] if l == r else [l, r]
-
     # subtree triangle counts (iterative post-order)
-    n_bin = node_min.shape[0]
     tricount = np.zeros(n_bin, np.int64)
     post = []
     stk = [0]
@@ -190,6 +167,43 @@ def pack_bvh_mxu(bvh, tris, superleaf: int = SUPERLEAF) -> MXUBVH:
             np.zeros((BLOCK_ROWS, SUPERLEAF), np.float32),
         )
         uv_blocks, t_blocks, pay_blocks = [uv], [tb], [pay]
+    return is_cut, leaf_id, tricount, uv_blocks, t_blocks, pay_blocks
+
+
+def pack_bvh_mxu(bvh, tris, superleaf: int = SUPERLEAF) -> MXUBVH:
+    """Collapse a binary FlatBVH + Triangles into wide nodes + superleaves.
+
+    A binary node becomes a superleaf when its subtree holds ``<= superleaf``
+    triangles (and its parent's doesn't); the internal structure above the
+    cut is 16-wide packed exactly like :func:`spira_tpu.accel.wide.pack_bvh16`.
+    Smaller ``superleaf`` values trade denser box pruning (finer cut boxes)
+    for more block visits; blocks stay 128 lanes wide either way.
+    """
+    if not 1 <= superleaf <= SUPERLEAF:
+        raise ValueError(f"superleaf must be in 1..{SUPERLEAF}")
+    node_min = np.asarray(bvh.node_min, np.float32)
+    node_max = np.asarray(bvh.node_max, np.float32)
+    left = np.asarray(bvh.left, np.int64)
+    right = np.asarray(bvh.right, np.int64)
+    is_leaf = np.asarray(bvh.is_leaf, np.int64)
+    prim_idx = np.asarray(bvh.prim_idx, np.int64)
+
+    v0 = np.asarray(tris.v0, np.float32)
+    e1 = np.asarray(tris.e1, np.float32)
+    e2 = np.asarray(tris.e2, np.float32)
+    nrm = np.asarray(tris.normal, np.float32)
+    mat = np.asarray(tris.material, np.float32)
+
+    def kids(i: int):
+        l, r = int(left[i]), int(right[i])
+        return [l] if l == r else [l, r]
+
+    is_cut, leaf_id, tricount, uv_blocks, t_blocks, pay_blocks = (
+        _cut_and_blocks(
+            left, right, is_leaf, prim_idx, v0, e1, e2, nrm, mat,
+            kids, node_min.shape[0], superleaf,
+        )
+    )
 
     nodes, n_nodes = _collapse16(
         node_min, node_max, kids, is_cut,
@@ -269,6 +283,206 @@ def traverse_mxu_numpy(packed: MXUBVH, origin, direction, t_min=1e-3):
             u = un * idet
             v = vn * idet
             t = tn_ * idet
+            hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min)
+            t = np.where(hit, t, np.inf)
+            j = int(np.argmin(t))
+            if t[j] < best[0]:
+                pay = cpay[base : base + 8, j]
+                best = (float(t[j]), pay[0:3].copy(), int(pay[3]))
+    return best
+
+
+@pytree_dataclass(meta_fields=("root", "n_pairs", "n_blocks", "depth"))
+class SuperleafBVH:
+    """Pair-record tree over MXU superleaf blocks.
+
+    The round-2 queued lever for mesh throughput: keep the packet kernel's
+    pruned pair-record traversal (`accel/pairs.py` format — the slab tests,
+    ordered descent and SMEM stack are unchanged) but make every leaf a
+    128-triangle Plücker coefficient block intersected on the MXU instead
+    of a 16-triangle VPU scalar-broadcast loop.  Fewer, fatter leaves mean
+    a ~3-level shallower tree (fewer pops and vector→scalar readbacks) at
+    the cost of coarser leaf-level pruning; `docs/ARCHITECTURE.md` records
+    which side wins per mesh size.
+
+    ``pairs`` rows follow `accel.pairs.PackedBVH.pairs` exactly, except a
+    leaf child's ``ptr`` is a superleaf BLOCK index into the coefficient
+    tables (rows ``ptr*8 : ptr*8+8``); ``count`` keeps the cut node's
+    triangle count (the kernel only tests it ``> 0``, since a block visit
+    always evaluates all 128 lanes — empty lanes have det == 0).
+    """
+
+    pairs: jnp.ndarray  # (P, 16) float32 pair records
+    coeff_uv: jnp.ndarray  # (n_blocks * 8, 384) f32
+    coeff_t: jnp.ndarray  # (n_blocks * 8, 128) f32
+    coeff_pay: jnp.ndarray  # (n_blocks * 8, 128) f32
+    root: int = 0
+    n_pairs: int = 0
+    n_blocks: int = 0
+    depth: int = 1  # pair records on the longest root->leaf chain
+
+
+def pack_bvh_superleaf(bvh, tris, superleaf: int = SUPERLEAF) -> SuperleafBVH:
+    """Pack a FlatBVH + Triangles into pair records over superleaf blocks."""
+    if not 1 <= superleaf <= SUPERLEAF:
+        raise ValueError(f"superleaf must be in 1..{SUPERLEAF}")
+    node_min = np.asarray(bvh.node_min, np.float32)
+    node_max = np.asarray(bvh.node_max, np.float32)
+    left = np.asarray(bvh.left, np.int64)
+    right = np.asarray(bvh.right, np.int64)
+    is_leaf = np.asarray(bvh.is_leaf, np.int64)
+    prim_idx = np.asarray(bvh.prim_idx, np.int64)
+    if is_leaf.size and int((np.asarray(right)[is_leaf == 1]).max(initial=0)) > superleaf:
+        raise ValueError(
+            "builder leaves exceed the superleaf size; rebuild the BVH with "
+            f"leaf_size <= {superleaf}"
+        )
+
+    v0 = np.asarray(tris.v0, np.float32)
+    e1 = np.asarray(tris.e1, np.float32)
+    e2 = np.asarray(tris.e2, np.float32)
+    nrm = np.asarray(tris.normal, np.float32)
+    mat = np.asarray(tris.material, np.float32)
+
+    def kids(i: int):
+        l, r = int(left[i]), int(right[i])
+        return [l] if l == r else [l, r]
+
+    is_cut, leaf_id, tricount, uv_blocks, t_blocks, pay_blocks = (
+        _cut_and_blocks(
+            left, right, is_leaf, prim_idx, v0, e1, e2, nrm, mat,
+            kids, node_min.shape[0], superleaf,
+        )
+    )
+
+    # pair records over the contracted tree (internal nodes above the cut)
+    internal = []
+    if not is_cut[0]:
+        stk = [0]
+        while stk:
+            i = stk.pop()
+            internal.append(i)
+            stk.extend(c for c in kids(i) if not is_cut[c])
+    pair_of = {i: k for k, i in enumerate(internal)}
+    root_is_cut = bool(is_cut[0])
+    total_pairs = max(len(internal) + (1 if root_is_cut else 0), 1)
+    pairs = np.zeros((total_pairs, 16), np.float32)
+
+    def entry(c: int):
+        if is_cut[c]:
+            return node_min[c], node_max[c], leaf_id[c], int(tricount[c])
+        return node_min[c], node_max[c], pair_of[c], 0
+
+    empty = (np.zeros(3, np.float32), np.zeros(3, np.float32), 0, -1)
+
+    def fill(rec, half, ent):
+        lo3, hi3, ptr, cnt = ent
+        base = 8 * half
+        rec[base : base + 3] = lo3
+        rec[base + 3 : base + 6] = hi3
+        rec[base + 6] = float(ptr)
+        rec[base + 7] = float(cnt)
+
+    for i in internal:
+        rec = pairs[pair_of[i]]
+        ks = kids(i)
+        fill(rec, 0, entry(ks[0]))
+        fill(rec, 1, entry(ks[1]) if len(ks) == 2 else empty)
+
+    if root_is_cut:
+        root = len(internal)
+        fill(pairs[root], 0, entry(0))
+        fill(pairs[root], 1, empty)
+    else:
+        root = pair_of[0]
+
+    # longest root->leaf pair chain (stack-depth validation in the kernel)
+    depth = 1
+    chain = [(int(root), 1)]
+    while chain:
+        rec, d = chain.pop()
+        depth = max(depth, d)
+        for half in (0, 1):
+            if pairs[rec, 8 * half + 7] == 0.0:  # internal child
+                chain.append((int(pairs[rec, 8 * half + 6]), d + 1))
+
+    def pad8(a):
+        p = (-a.shape[0]) % 8
+        if p:
+            a = np.concatenate([a, np.zeros((p,) + a.shape[1:], a.dtype)])
+        return a
+
+    return SuperleafBVH(
+        pairs=jnp.asarray(pad8(pairs)),
+        coeff_uv=jnp.asarray(np.concatenate(uv_blocks, axis=0)),
+        coeff_t=jnp.asarray(np.concatenate(t_blocks, axis=0)),
+        coeff_pay=jnp.asarray(np.concatenate(pay_blocks, axis=0)),
+        root=int(root),
+        n_pairs=total_pairs,
+        n_blocks=len(uv_blocks),
+        depth=depth,
+    )
+
+
+def attach_superleaf(scene, superleaf: int = SUPERLEAF):
+    """Pack ``scene.bvh`` into pair-tree superleaf tables on ``scene.wide``
+    (the slot the MXU-leaf packet engine reads)."""
+    from ..core.types import replace
+
+    if scene.bvh is None:
+        raise ValueError("attach_superleaf requires a scene with a built BVH")
+    return replace(
+        scene,
+        wide=pack_bvh_superleaf(scene.bvh, scene.triangles, superleaf),
+    )
+
+
+def traverse_superleaf_numpy(packed: SuperleafBVH, origin, direction,
+                             t_min=1e-3):
+    """Scalar NumPy oracle over the SuperleafBVH tables (tests only):
+    nearest hit (t, normal, mat) for one ray, or (inf, 0, -1).  Runs the
+    pair-record walk of `pairs.traverse_packed_numpy` with the Plücker
+    block evaluation of `traverse_mxu_numpy`."""
+    pairs = np.asarray(packed.pairs)
+    cuv = np.asarray(packed.coeff_uv, np.float64)
+    ct = np.asarray(packed.coeff_t, np.float64)
+    cpay = np.asarray(packed.coeff_pay, np.float64)
+    o = np.asarray(origin, np.float64)
+    d = np.asarray(direction, np.float64)
+    m = np.cross(o, d)
+    f_uv = np.concatenate([m, d, [0.0, 0.0]])
+    f_o1 = np.concatenate([o, [0.0, 0.0, 0.0], [1.0, 0.0]])
+    inv = np.where(np.abs(d) > 1e-12, 1.0 / d, 1e12)
+
+    best = (np.inf, np.zeros(3), -1)
+    stack = [packed.root]
+    while stack:
+        p = stack.pop()
+        rec = pairs[p]
+        for half in (0, 1):
+            b = 8 * half
+            lo, hi = rec[b : b + 3], rec[b + 3 : b + 6]
+            ptr, cnt = int(rec[b + 6]), int(rec[b + 7])
+            t0 = (lo - o) * inv
+            t1 = (hi - o) * inv
+            tn = np.maximum(np.minimum(t0, t1).max(), 0.0)
+            tf = np.minimum(np.maximum(t0, t1).min(), best[0])
+            if tn > tf or cnt < 0:
+                continue
+            if cnt == 0:
+                stack.append(ptr)
+                continue
+            base = ptr * BLOCK_ROWS
+            quv = cuv[base : base + 8].T @ f_uv
+            det = quv[0:128]
+            un = quv[128:256]
+            vn = quv[256:384]
+            tn_ = ct[base : base + 8].T @ f_o1
+            ok = np.abs(det) > 1e-12
+            idet = np.where(ok, 1.0 / np.where(ok, det, 1.0), 0.0)
+            u = un * idet
+            v = vn * idet
+            t = np.where(ok, tn_ * idet, np.inf)
             hit = ok & (u >= 0) & (v >= 0) & (u + v <= 1) & (t > t_min)
             t = np.where(hit, t, np.inf)
             j = int(np.argmin(t))

@@ -55,8 +55,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from ..accel.mxu import BLOCK_ROWS, SUPERLEAF
 from ..accel.pairs import TRI_STRIDE, TRIS_PER_ROW
 from . import megakernel as mk
+
+_HI = jax.lax.Precision.HIGHEST
+_CD = (((1,), (0,)), ((), ()))  # contract lhs dim 1 with rhs dim 0
 
 TILE_H = mk.TILE_H
 TILE_W = mk.TILE_W
@@ -127,6 +131,7 @@ def make_packet_intersect(
     max_leaf: int,
     pops_per_iter: int = 1,
     dummy_row: int | None = None,
+    mxu_refs=None,
 ):
     """Build the ``intersect_fn`` plugged into ``trace_tile``.
 
@@ -142,6 +147,11 @@ def make_packet_intersect(
     trees where tall packets already amortize the readback, +9-17% on deep
     ones (5.4k-73k tris) — ``render_flat_bvh_megakernel`` auto-selects by
     tree size.
+
+    ``mxu_refs``: optional ``(coeff_uv_ref, coeff_t_ref, coeff_pay_ref)``
+    from an `accel.mxu.SuperleafBVH` — leaf children are then Plücker
+    superleaf blocks visited on the MXU (``tris_ref``/``rows_per_leaf``/
+    ``max_leaf`` unused).
     """
     K = pops_per_iter
     if K > 1 and dummy_row is None:
@@ -152,12 +162,19 @@ def make_packet_intersect(
         st = mk.init_hit_state(dx)
         st = mk.sphere_unroll(spheres, o3, d3, st)
 
+        leaf_visit = None
+        if mxu_refs is not None:
+            leaf_visit = _make_mxu_leaf_visit(
+                *mxu_refs, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
+                o3, d3,
+            )
         run_packet_traversal(
             pairs_ref, tris_ref, stack_ref,
             bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
             o3, d3, active, st["best_t"],
             root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
             pops_per_iter=pops_per_iter, dummy_row=dummy_row,
+            leaf_visit=leaf_visit,
         )
 
         # ---- resolve traversal registers into the shared hit-state shape
@@ -176,6 +193,111 @@ def make_packet_intersect(
     return intersect
 
 
+def _make_mxu_leaf_visit(cuv_ref, ct_ref, cpay_ref,
+                         bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
+                         o3, d3):
+    """Plücker superleaf block visit: the `mxu_megakernel` streaming visit
+    re-anchored under the pruned pair-record traversal.
+
+    Per popped leaf child (``ptr`` = block index), evaluates all 128
+    triangles of the block against every packet ray with two MXU
+    contractions + one one-hot payload matmul per (8, 128) sub-tile —
+    zero per-lane gathers, zero extra vector→scalar readbacks.
+    ``cnt``/``hitm`` are ignored: padding lanes have det == 0 (every hit
+    condition fails), and testing co-resident triangles of other cut nodes
+    is correct — they are real scene geometry (accel/mxu.py bin-packing
+    note); rays whose slab test missed the child cannot hit its triangles.
+    """
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    tile_h = dx.shape[0]
+    if tile_h % 8:
+        raise ValueError("MXU leaf visits need tile_h % 8 == 0")
+    n_sub = tile_h // 8
+    SUB = 8 * TILE_W  # lanes per (8, 128) sub-tile
+
+    # per-ray Plücker features, computed once per intersect call
+    # (loop-invariant inside the traversal while_loop)
+    mx = oy * dz - oz * dy
+    my = oz * dx - ox * dz
+    mz = ox * dy - oy * dx
+    zrow = jnp.zeros((1, SUB), jnp.float32)
+
+    def rows(a, s):
+        return jnp.reshape(a[s * 8:(s + 1) * 8, :], (1, SUB))
+
+    fuv = [
+        jnp.concatenate(
+            [rows(mx, s), rows(my, s), rows(mz, s),
+             rows(dx, s), rows(dy, s), rows(dz, s), zrow, zrow], axis=0)
+        for s in range(n_sub)
+    ]
+    fo1 = [
+        jnp.concatenate(
+            [rows(ox, s), rows(oy, s), rows(oz, s),
+             zrow, zrow, zrow, zrow + 1.0, zrow], axis=0)
+        for s in range(n_sub)
+    ]
+    iota_f = jax.lax.broadcasted_iota(
+        jnp.int32, (SUPERLEAF, SUB), 0
+    ).astype(jnp.float32)
+
+    def visit(ptr, cnt, hitm):
+        del cnt, hitm
+        base = ptr * BLOCK_ROWS
+        cuv_t = jnp.transpose(cuv_ref[pl.ds(base, BLOCK_ROWS), :])
+        ct_t = jnp.transpose(ct_ref[pl.ds(base, BLOCK_ROWS), :])
+        cpay = cpay_ref[pl.ds(base, BLOCK_ROWS), :]
+        for s in range(n_sub):
+            quv = jax.lax.dot_general(
+                cuv_t, fuv[s], _CD, precision=_HI,
+                preferred_element_type=jnp.float32,
+            )
+            t_num = jax.lax.dot_general(
+                ct_t, fo1[s], _CD, precision=_HI,
+                preferred_element_type=jnp.float32,
+            )
+            det = quv[0:SUPERLEAF]
+            u_num = quv[SUPERLEAF : 2 * SUPERLEAF]
+            v_num = quv[2 * SUPERLEAF : 3 * SUPERLEAF]
+            idet = 1.0 / det  # det==0 padding -> NaN -> compares False
+            uu = u_num * idet
+            vv = v_num * idet
+            tt = t_num * idet
+            sl = slice(s * 8, (s + 1) * 8)
+            best_row = jnp.reshape(bt_ref[sl, :], (1, SUB))
+            best_b = jnp.broadcast_to(best_row, (SUPERLEAF, SUB))
+            hit = (
+                (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
+                & (tt > T_MIN) & (tt < best_b)
+                & (jnp.abs(det) > 1e-12)
+            )
+            tcand = jnp.where(hit, tt, INF)
+            tmin = jnp.min(tcand, axis=0, keepdims=True)
+            improved = tmin < best_row
+            win = tcand == jnp.broadcast_to(tmin, (SUPERLEAF, SUB))
+            jsel = jnp.min(
+                jnp.where(win, iota_f, jnp.float32(1e9)),
+                axis=0, keepdims=True,
+            )
+            onehot = (
+                iota_f == jnp.broadcast_to(jsel, (SUPERLEAF, SUB))
+            ).astype(jnp.float32)
+            pay = jax.lax.dot_general(
+                cpay, onehot, _CD, precision=_HI,
+                preferred_element_type=jnp.float32,
+            )
+            t8 = lambda r: jnp.reshape(r, (8, TILE_W))
+            imp = t8(jnp.broadcast_to(improved, (1, SUB)))
+            bt_ref[sl, :] = jnp.where(imp, t8(tmin), bt_ref[sl, :])
+            tnx_ref[sl, :] = jnp.where(imp, t8(pay[0:1]), tnx_ref[sl, :])
+            tny_ref[sl, :] = jnp.where(imp, t8(pay[1:2]), tny_ref[sl, :])
+            tnz_ref[sl, :] = jnp.where(imp, t8(pay[2:3]), tnz_ref[sl, :])
+            mid_ref[sl, :] = jnp.where(imp, t8(pay[3:4]), mid_ref[sl, :])
+
+    return visit
+
+
 def run_packet_traversal(
     pairs_ref, tris_ref, stack_ref,
     bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
@@ -186,13 +308,20 @@ def run_packet_traversal(
     max_leaf: int,
     pops_per_iter: int = 1,
     dummy_row: int | None = None,
+    leaf_visit=None,
 ):
     """The shared packet traversal loop: runs the SMEM-stack tree walk and
     leaves (best_t, triangle normal, material id) in the scratch refs.
     ``best_t0`` seeds the search radius (e.g. from a sphere pre-pass);
     lanes that beat it are triangle hits (``mid >= 0``).  Both the RGB and
     the spectral packet engines wrap this core with their own material
-    resolve."""
+    resolve.
+
+    ``leaf_visit(ptr, cnt, hitm)``: optional replacement for the default
+    VPU scalar-broadcast Möller–Trumbore leaf loop — the MXU superleaf
+    engine plugs its Plücker block visit in here (``tris_ref``/
+    ``rows_per_leaf``/``max_leaf`` are then unused).
+    """
     K = pops_per_iter
     if K > 1 and dummy_row is None:
         raise ValueError("pops_per_iter > 1 requires a dummy_row")
@@ -224,6 +353,77 @@ def run_packet_traversal(
         dmx = jnp.sum(dx) * inv_n
         dmy = jnp.sum(dy) * inv_n
         dmz = jnp.sum(dz) * inv_n
+
+        if leaf_visit is None:
+
+            def leaf_visit(ptr, cnt, hitm):
+                cnt_i = cnt.astype(jnp.int32)
+                best_l = bt_ref[:]
+                nx_l = tnx_ref[:]
+                ny_l = tny_ref[:]
+                nz_l = tnz_ref[:]
+                mid_l = mid_ref[:]
+                for rr in range(rows_per_leaf):
+                    rowv = tris_ref[pl.ds(ptr + rr, 1), :]  # (1, 128)
+                    for j in range(TRIS_PER_ROW):
+                        jj = rr * TRIS_PER_ROW + j
+                        if jj >= max_leaf:
+                            break
+                        lane = TRI_STRIDE * j
+                        v0x = rowv[0, lane + 0]
+                        v0y = rowv[0, lane + 1]
+                        v0z = rowv[0, lane + 2]
+                        e1x = rowv[0, lane + 3]
+                        e1y = rowv[0, lane + 4]
+                        e1z = rowv[0, lane + 5]
+                        e2x = rowv[0, lane + 6]
+                        e2y = rowv[0, lane + 7]
+                        e2z = rowv[0, lane + 8]
+                        nxc = rowv[0, lane + 9]
+                        nyc = rowv[0, lane + 10]
+                        nzc = rowv[0, lane + 11]
+                        matf = rowv[0, lane + 12]
+                        # Möller–Trumbore, identical formulas to
+                        # megakernel.tri_unroll (broadcast scalars)
+                        pvx = dy * e2z - dz * e2y
+                        pvy = dz * e2x - dx * e2z
+                        pvz = dx * e2y - dy * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        det_ok = jnp.abs(det) > 1e-12
+                        inv_det = jnp.where(
+                            det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
+                        )
+                        tvx = ox - v0x
+                        tvy = oy - v0y
+                        tvz = oz - v0z
+                        uu = (
+                            tvx * pvx + tvy * pvy + tvz * pvz
+                        ) * inv_det
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                        hit_k = (
+                            (jnp.abs(det) > 1e-9)
+                            & (uu >= 0.0)
+                            & (vv >= 0.0)
+                            & (uu + vv <= 1.0)
+                            & (tt > T_MIN)
+                            & (tt < best_l)
+                            & hitm
+                            & (jj < cnt_i)
+                        )
+                        best_l = jnp.where(hit_k, tt, best_l)
+                        nx_l = jnp.where(hit_k, nxc, nx_l)
+                        ny_l = jnp.where(hit_k, nyc, ny_l)
+                        nz_l = jnp.where(hit_k, nzc, nz_l)
+                        mid_l = jnp.where(hit_k, matf, mid_l)
+                bt_ref[:] = best_l
+                tnx_ref[:] = nx_l
+                tny_ref[:] = ny_l
+                tnz_ref[:] = nz_l
+                mid_ref[:] = mid_l
 
         activef = active.astype(jnp.float32)
         stack_ref[0] = np.int32(root)
@@ -329,73 +529,7 @@ def run_packet_traversal(
 
                 @pl.when(anyhits[half] & (cnt > 0.5))
                 def _leaf(ptr=ptr, cnt=cnt, hitm=hitm):
-                    cnt_i = cnt.astype(jnp.int32)
-                    best_l = bt_ref[:]
-                    nx_l = tnx_ref[:]
-                    ny_l = tny_ref[:]
-                    nz_l = tnz_ref[:]
-                    mid_l = mid_ref[:]
-                    for rr in range(rows_per_leaf):
-                        rowv = tris_ref[pl.ds(ptr + rr, 1), :]  # (1, 128)
-                        for j in range(TRIS_PER_ROW):
-                            jj = rr * TRIS_PER_ROW + j
-                            if jj >= max_leaf:
-                                break
-                            lane = TRI_STRIDE * j
-                            v0x = rowv[0, lane + 0]
-                            v0y = rowv[0, lane + 1]
-                            v0z = rowv[0, lane + 2]
-                            e1x = rowv[0, lane + 3]
-                            e1y = rowv[0, lane + 4]
-                            e1z = rowv[0, lane + 5]
-                            e2x = rowv[0, lane + 6]
-                            e2y = rowv[0, lane + 7]
-                            e2z = rowv[0, lane + 8]
-                            nxc = rowv[0, lane + 9]
-                            nyc = rowv[0, lane + 10]
-                            nzc = rowv[0, lane + 11]
-                            matf = rowv[0, lane + 12]
-                            # Möller–Trumbore, identical formulas to
-                            # megakernel.tri_unroll (broadcast scalars)
-                            pvx = dy * e2z - dz * e2y
-                            pvy = dz * e2x - dx * e2z
-                            pvz = dx * e2y - dy * e2x
-                            det = e1x * pvx + e1y * pvy + e1z * pvz
-                            det_ok = jnp.abs(det) > 1e-12
-                            inv_det = jnp.where(
-                                det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
-                            )
-                            tvx = ox - v0x
-                            tvy = oy - v0y
-                            tvz = oz - v0z
-                            uu = (
-                                tvx * pvx + tvy * pvy + tvz * pvz
-                            ) * inv_det
-                            qvx = tvy * e1z - tvz * e1y
-                            qvy = tvz * e1x - tvx * e1z
-                            qvz = tvx * e1y - tvy * e1x
-                            vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                            tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                            hit_k = (
-                                (jnp.abs(det) > 1e-9)
-                                & (uu >= 0.0)
-                                & (vv >= 0.0)
-                                & (uu + vv <= 1.0)
-                                & (tt > T_MIN)
-                                & (tt < best_l)
-                                & hitm
-                                & (jj < cnt_i)
-                            )
-                            best_l = jnp.where(hit_k, tt, best_l)
-                            nx_l = jnp.where(hit_k, nxc, nx_l)
-                            ny_l = jnp.where(hit_k, nyc, ny_l)
-                            nz_l = jnp.where(hit_k, nzc, nz_l)
-                            mid_l = jnp.where(hit_k, matf, mid_l)
-                    bt_ref[:] = best_l
-                    tnx_ref[:] = nx_l
-                    tny_ref[:] = ny_l
-                    tnz_ref[:] = nz_l
-                    mid_ref[:] = mid_l
+                    leaf_visit(ptr, cnt, hitm)
 
             # ordered descent: push the far internal child first so the near
             # one pops first and shrinks best_t before the far subtree runs.
@@ -420,13 +554,20 @@ def run_packet_traversal(
 
 
 def _kernel(
-    seed_ref, off_ref, cam_ref, mat_ref, sph_ref, pairs_ref, tris_ref,
-    out_r, out_g, out_b,
-    stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
-    *, spp, max_depth, width, height, n_spheres, n_mats, root,
+    seed_ref, off_ref, cam_ref, mat_ref, sph_ref, pairs_ref, *rest,
+    spp, max_depth, width, height, n_spheres, n_mats, root,
     rows_per_leaf, max_leaf, inclusive_uv, tile_h, pops_per_iter, dummy_row,
-    has_lens=False, normalize=True,
+    has_lens=False, normalize=True, use_mxu=False,
 ):
+    if use_mxu:
+        (cuv_ref, ct_ref, cpay_ref, out_r, out_g, out_b,
+         stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref) = rest
+        tris_ref = None
+        mxu_refs = (cuv_ref, ct_ref, cpay_ref)
+    else:
+        (tris_ref, out_r, out_g, out_b,
+         stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref) = rest
+        mxu_refs = None
     i = pl.program_id(0)
     j = pl.program_id(1)
     # off_ref = (row_start, sample_offset): nonzero under row-range /
@@ -451,6 +592,7 @@ def _kernel(
         spheres, mats,
         root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
         pops_per_iter=pops_per_iter, dummy_row=dummy_row,
+        mxu_refs=mxu_refs,
     )
     r, g, b = mk.trace_tile(
         (row * width + col).astype(jnp.uint32),
@@ -598,20 +740,29 @@ def pack_materials_jnp(materials):
     static_argnames=(
         "width", "height", "spp", "max_depth", "n_spheres", "n_mats",
         "inclusive_uv", "interpret", "tile_h", "pops_per_iter",
-        "n_rows", "normalize",
+        "n_rows", "normalize", "mxu_leaf",
     ),
 )
 def _launch(
     seed_arr, off_arr, scene, camera, *, width, height, spp, max_depth,
     n_spheres, n_mats, inclusive_uv, interpret, tile_h=TILE_H,
-    pops_per_iter=1, n_rows=None, normalize=True,
+    pops_per_iter=1, n_rows=None, normalize=True, mxu_leaf=False,
 ):
-    packed = scene.packed
-    # meta fields of the PackedBVH pytree are concrete (part of the jit key)
+    if mxu_leaf:
+        # pair-record tree whose leaves are Plücker superleaf blocks
+        # (accel.mxu.SuperleafBVH on scene.wide) — MXU block visits
+        packed = scene.wide
+        tables = (packed.coeff_uv, packed.coeff_t, packed.coeff_pay)
+        max_leaf = 1  # unused: the MXU leaf visit replaces the row loop
+        rows_per_leaf = 1
+    else:
+        packed = scene.packed
+        tables = (packed.tri_rows,)
+        max_leaf = packed.max_leaf
+        rows_per_leaf = -(-max_leaf // TRIS_PER_ROW)
+    # meta fields of the BVH pytree are concrete (part of the jit key)
     _check_stack_depth(packed.depth, pops_per_iter)
     root = packed.root
-    max_leaf = packed.max_leaf
-    rows_per_leaf = -(-max_leaf // TRIS_PER_ROW)
 
     cam_arr = mk.pack_camera_jnp(camera)
     sph_arr = (
@@ -621,7 +772,6 @@ def _launch(
     )
     mat_arr = pack_materials_jnp(scene.materials)
     pairs = _with_dummy_row(packed.pairs)
-    tri_rows = packed.tri_rows
 
     grid_h = pl.cdiv(n_rows if n_rows is not None else height, tile_h)
     grid_w = pl.cdiv(width, TILE_W)
@@ -635,7 +785,7 @@ def _launch(
         rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
         inclusive_uv=inclusive_uv, tile_h=tile_h,
         pops_per_iter=pops_per_iter, dummy_row=packed.pairs.shape[0],
-        has_lens=camera.has_lens, normalize=normalize,
+        has_lens=camera.has_lens, normalize=normalize, use_mxu=mxu_leaf,
     )
     # under shard_map the outputs vary across the mesh axes the inputs do;
     # jax requires that declared on the out ShapeDtypeStructs (vma)
@@ -650,12 +800,20 @@ def _launch(
     block = pl.BlockSpec(
         (tile_h, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
     )
-    # physical VMEM: lane dims pad to 128 — (P,16) costs P*128 floats
-    table_bytes = (pairs.shape[0] + tri_rows.shape[0]) * 128 * 4
+    # physical VMEM: lane dims pad to 128 — (P,16) costs P*128 floats;
+    # the coeff tables are already 128/384 lanes wide (exact)
+    table_bytes = pairs.shape[0] * 128 * 4 + sum(
+        int(np.prod(t.shape)) * 4 if t.shape[1] % 128 == 0
+        else t.shape[0] * 128 * 4
+        for t in tables
+    )
     params = pltpu.CompilerParams(
         vmem_limit_bytes=int(table_bytes + (6 << 20)),
     )
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    full = lambda a: pl.BlockSpec(
+        a.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
+    )
     return pl.pallas_call(
         kernel,
         grid=(grid_h, grid_w),
@@ -666,18 +824,14 @@ def _launch(
             smem,  # camera
             smem,  # materials
             smem,  # spheres
-            pl.BlockSpec(
-                pairs.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                tri_rows.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
+            full(pairs),
+        ]
+        + [full(t) for t in tables],
         out_specs=(block, block, block),
         scratch_shapes=traversal_scratch_shapes(tile_h),
         compiler_params=params,
         interpret=interpret,
-    )(seed_arr, off_arr, cam_arr, mat_arr, sph_arr, pairs, tri_rows)
+    )(seed_arr, off_arr, cam_arr, mat_arr, sph_arr, pairs, *tables)
 
 
 def bvh_rows(
@@ -696,6 +850,7 @@ def bvh_rows(
     interpret: bool = False,
     tile_h: int = 32,
     pops_per_iter: int | None = None,
+    mxu_leaf: bool = False,
 ):
     """Packet-BVH tracer over a row-range — the shard body of the
     tile/spp-sharded mesh renderer (the packet twin of
@@ -705,12 +860,9 @@ def bvh_rows(
     Returns the per-row-range radiance **sum** over its spp range,
     (n_rows*width, 3).
     """
-    if scene.packed is None:
-        raise ValueError(
-            "scene has no packed BVH; call spira_tpu.accel.pairs.attach_packed"
-        )
+    tree = _require_tree(scene, mxu_leaf)
     if pops_per_iter is None:
-        pops_per_iter = 8 if scene.packed.pairs.shape[0] >= 512 else 1
+        pops_per_iter = 8 if tree.pairs.shape[0] >= 512 else 1
     # don't pad a short shard up to a tall packet: pick the smallest legal
     # packet height covering n_rows (values are tile_h-invariant)
     while tile_h > 8 and tile_h // 2 >= n_rows:
@@ -736,8 +888,28 @@ def bvh_rows(
         pops_per_iter=pops_per_iter,
         n_rows=n_rows,
         normalize=False,
+        mxu_leaf=mxu_leaf,
     )
     return mk._crop_flat(r, g, b, width, n_rows)
+
+
+def _require_tree(scene, mxu_leaf: bool):
+    """The traversal tree the engine variant reads: ``scene.packed``
+    (PackedBVH, VPU row leaves) or ``scene.wide`` (SuperleafBVH, MXU
+    block leaves)."""
+    if mxu_leaf:
+        tree = scene.wide
+        if tree is None or not hasattr(tree, "pairs"):
+            raise ValueError(
+                "mxu_leaf=True needs a SuperleafBVH on scene.wide; call "
+                "spira_tpu.accel.mxu.attach_superleaf"
+            )
+        return tree
+    if scene.packed is None:
+        raise ValueError(
+            "scene has no packed BVH; call spira_tpu.accel.pairs.attach_packed"
+        )
+    return scene.packed
 
 
 def render_flat_bvh_megakernel(
@@ -753,6 +925,7 @@ def render_flat_bvh_megakernel(
     interpret: bool = False,
     tile_h: int = 32,
     pops_per_iter: int | None = None,
+    mxu_leaf: bool = False,
 ):
     """Pallas packet-BVH render → flat (H*W, 3) bottom-up HDR buffer.
 
@@ -764,11 +937,13 @@ def render_flat_bvh_megakernel(
     Taller packets amortize the per-pop vector→scalar round trip (the
     measured bottleneck) over more rays at slightly worse cull rates;
     32 measured fastest on v5e for both 1.6k- and 73k-triangle scenes.
+
+    ``mxu_leaf``: traverse the SuperleafBVH on ``scene.wide`` instead —
+    the same pruned pair-record walk, but each leaf is a 128-triangle
+    Plücker block intersected on the MXU (``accel.mxu.attach_superleaf``).
+    Fewer, fatter leaves → a shallower tree with fewer vector→scalar pops.
     """
-    if scene.packed is None:
-        raise ValueError(
-            "scene has no packed BVH; call spira_tpu.accel.pairs.attach_packed"
-        )
+    tree = _require_tree(scene, mxu_leaf)
     if tile_h not in (8, 16, 32, 64):
         # the any-hit OR-fold and the (8,128) sublane tiling require a
         # power-of-two packet height
@@ -776,7 +951,7 @@ def render_flat_bvh_megakernel(
     if pops_per_iter is None:
         # measured on v5e at tile_h=32: batched pops are neutral on shallow
         # trees (~200 pair records) and +9-17% on deep ones (5.4k-73k tris)
-        pops_per_iter = 8 if scene.packed.pairs.shape[0] >= 512 else 1
+        pops_per_iter = 8 if tree.pairs.shape[0] >= 512 else 1
     r, g, b = _launch(
         jnp.asarray([[seed]], jnp.int32),
         jnp.zeros((1, 2), jnp.int32),
@@ -792,6 +967,7 @@ def render_flat_bvh_megakernel(
         interpret=interpret,
         tile_h=tile_h,
         pops_per_iter=pops_per_iter,
+        mxu_leaf=mxu_leaf,
     )
     return mk._crop_flat(r, g, b, width, height)
 

@@ -209,6 +209,9 @@ def select_engine(
       with packed pair tables, physical)
     * ``pallas_spectral_bvh`` — the spectral packet kernel (TPU; packed
       mesh scenes with spectral transport in one dispatch)
+    * ``pallas_bvh_mxu`` — the packet traversal with MXU superleaf leaves
+      (pair tree over 128-triangle Plücker blocks; explicit only — see
+      docs/ARCHITECTURE.md for when it beats ``pallas_bvh``)
     * ``pallas_mxu`` — streaming superleaf MXU megakernel (explicit only,
       never auto-selected: the packet kernel prunes better at every
       measured mesh size — see kernels/mxu_megakernel.py)
@@ -252,7 +255,7 @@ def render_flat_engine(
     engines use the PCG4D RNG stream, the wavefront engine threefry — images
     agree statistically, not bitwise)."""
     engine = select_engine(scene, semantics, spectral, engine, camera=camera)
-    if engine in ("pallas_bvh", "pallas_mxu") and (
+    if engine in ("pallas_bvh", "pallas_bvh_mxu", "pallas_mxu") and (
         spectral or semantics != "physical"
     ):
         raise ValueError(
@@ -277,6 +280,18 @@ def render_flat_engine(
         return render_flat_bvh_megakernel(
             scene, camera, width=width, height=height, spp=spp,
             max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
+        )
+    if engine == "pallas_bvh_mxu":
+        from .accel.mxu import attach_superleaf
+        from .kernels.bvh_megakernel import render_flat_bvh_megakernel
+
+        if scene.wide is None or not hasattr(scene.wide, "pairs"):
+            # host-side packing; attach once outside render loops
+            scene = attach_superleaf(scene)
+        return render_flat_bvh_megakernel(
+            scene, camera, width=width, height=height, spp=spp,
+            max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
+            mxu_leaf=True,
         )
     if engine == "bvh_sorted":
         return render_flat_bvh_sorted(

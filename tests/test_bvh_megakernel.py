@@ -25,7 +25,7 @@ from spira_tpu.kernels.bvh_megakernel import (
     render_flat_bvh_megakernel,
 )
 from spira_tpu.kernels.megakernel import render_flat_fused
-from spira_tpu.scene.camera import make_camera
+from spira_tpu.scene.camera import default_camera, make_camera
 from spira_tpu.scene.obj import icosphere
 from spira_tpu.scene.scene import create_mesh_scene, make_scene
 from spira_tpu.scene.materials import make_materials
@@ -258,3 +258,27 @@ def test_full_lane_hit_decodes_exactly():
         t = np.asarray(t)
         assert (t < 1e19).all(), f"tile_h={tile_h}: lanes lost hits"
         np.testing.assert_allclose(t, t[0], rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_mxu_leaf_engine_matches_packet_engine():
+    """The MXU superleaf-leaf variant (pair tree over 128-tri Plücker
+    blocks, `mxu_leaf=True`) against the row-leaf packet engine: same
+    raygen, RNG stream and traversal order — images agree to float32
+    round-off (the leaf intersector arithmetic differs: Plücker MXU
+    contraction vs broadcast Möller–Trumbore)."""
+    from spira_tpu.accel.mxu import attach_superleaf
+
+    scene = attach_packed(create_mesh_scene(subdivisions=2))
+    cam = default_camera(128 / 32)
+    kw = dict(width=128, height=32, spp=4, max_depth=3, seed=1)
+    img_ref = np.asarray(
+        render_flat_bvh_megakernel(scene, cam, interpret=True, **kw)
+    )
+    img_mxu = np.asarray(
+        render_flat_bvh_megakernel(
+            attach_superleaf(scene), cam, interpret=True, mxu_leaf=True, **kw
+        )
+    )
+    assert np.isfinite(img_mxu).all()
+    np.testing.assert_allclose(img_mxu, img_ref, atol=1e-4)
