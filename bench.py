@@ -259,6 +259,24 @@ def main() -> None:
                 f"{rays / dt_mesh / 1e6:.0f} Mrays/s ({dt_mesh * 1e3:.1f} ms)",
                 file=sys.stderr,
             )
+            try:
+                from spira_tpu.accel.mxu import attach_superleaf
+
+                mscene_sl = attach_superleaf(mscene)
+                dt_mxu = _time(
+                    lambda i: render_flat_bvh_megakernel(
+                        mscene_sl, mcamera, **kw, seed=i, mxu_leaf=True
+                    ),
+                    5,
+                )
+                print(
+                    f"fwd MXU-superleaf packet BVH ({n_tris} tris): "
+                    f"{rays / dt_mxu / 1e6:.0f} Mrays/s "
+                    f"({dt_mxu * 1e3:.1f} ms)",
+                    file=sys.stderr,
+                )
+            except Exception as e:  # pragma: no cover - TPU-env guard
+                print(f"mxu-leaf mesh tier skipped ({e!r})", file=sys.stderr)
             from spira_tpu.render import render_flat_bvh_sorted
 
             dt_sorted = _time(

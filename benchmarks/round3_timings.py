@@ -128,7 +128,13 @@ def tier_smoke():
     sscene, scam, sntris = _spectral_mesh_scene(subdivisions=1)
     tiny = dict(width=256, height=128, spp=1, max_depth=2)
 
+    from spira_tpu.accel.mxu import attach_superleaf
+    from spira_tpu.kernels.bvh_megakernel import render_flat_bvh_megakernel
+
+    scene_sl = attach_superleaf(scene)
     for name, fn in [
+        ("pallas_bvh_mxu", lambda i: render_flat_bvh_megakernel(
+            scene_sl, cam, **tiny, seed=i, mxu_leaf=True)),
         ("bvh_sorted", lambda i: render_flat_bvh_sorted(
             scene, cam, **tiny, seed=i)),
         ("bvh_sorted_spectral", lambda i: render_flat_bvh_sorted(
@@ -145,6 +151,7 @@ def tier_smoke():
 
 
 def tier_mesh():
+    from spira_tpu.accel.mxu import attach_superleaf
     from spira_tpu.kernels.bvh_megakernel import render_flat_bvh_megakernel
     from spira_tpu.render import render_flat_bvh_sorted
 
@@ -154,9 +161,12 @@ def tier_mesh():
                                 ("mesh5440", _mesh_scene),
                                 ("bunny", _bunny_scene)]:
         scene, cam, ntris = scene_fn()
+        scene_sl = attach_superleaf(scene)
         for engine, fn in [
             ("pallas_bvh", lambda i: render_flat_bvh_megakernel(
                 scene, cam, **kw, seed=i)),
+            ("pallas_bvh_mxu", lambda i: render_flat_bvh_megakernel(
+                scene_sl, cam, **kw, seed=i, mxu_leaf=True)),
             ("bvh_sorted", lambda i: render_flat_bvh_sorted(
                 scene, cam, **kw, seed=i)),
             ("bvh_nosort", lambda i: render_flat_bvh_sorted(
