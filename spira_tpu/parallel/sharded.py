@@ -71,7 +71,7 @@ def _make_sharded_renderer(
                 dv=float(height - 1 if inclusive_uv else height),
             )
             return jax.lax.psum(acc, "spp") / jnp.float32(spp)
-        if engine in ("pallas_bvh", "pallas_bvh_interpret"):
+        if engine.startswith("pallas_bvh"):
             from ..kernels.bvh_megakernel import bvh_rows
 
             acc = bvh_rows(
@@ -80,6 +80,7 @@ def _make_sharded_renderer(
                 sample_offset=s * spp_per, spp=spp_per,
                 max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
                 interpret=engine.endswith("interpret"),
+                mxu_leaf="mxu" in engine,
             )
             return jax.lax.psum(acc, "spp") / jnp.float32(spp)
         acc = accumulate_rows(
@@ -144,7 +145,7 @@ def _make_sharded_chunk(
                 du=float(width - 1 if inclusive_uv else width),
                 dv=float(height - 1 if inclusive_uv else height),
             )
-        elif engine in ("pallas_bvh", "pallas_bvh_interpret"):
+        elif engine.startswith("pallas_bvh"):
             from ..kernels.bvh_megakernel import bvh_rows
 
             acc = bvh_rows(
@@ -153,6 +154,7 @@ def _make_sharded_chunk(
                 sample_offset=offset, spp=spp_per, max_depth=max_depth,
                 seed=seed, inclusive_uv=inclusive_uv,
                 interpret=engine.endswith("interpret"),
+                mxu_leaf="mxu" in engine,
             )
         else:
             acc = accumulate_rows(
@@ -209,7 +211,11 @@ def render_flat_sharded(
     ``engine="fused"`` runs the fused megakernel tracer per shard (sphere
     scenes, physical semantics) — the multi-chip fast path; images are
     sharding-invariant because randomness is keyed on global pixel ids and
-    absolute sample indices.
+    absolute sample indices.  ``"pallas_bvh"`` runs the packet-BVH kernel
+    per shard (mesh scenes; needs ``attach_packed``), ``"pallas_bvh_mxu"``
+    its MXU-superleaf variant (needs ``attach_superleaf``); append
+    ``"_interpret"`` to either for CPU-mesh testing.  ``"bvh_sorted"``
+    (+``"_interpret"``) is the sorted bounce-wavefront estimator.
 
     ``height`` must divide by the tile-axis size and ``spp`` by the spp-axis
     size (pad upstream if needed).  The returned array is laid out with
