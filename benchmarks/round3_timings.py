@@ -167,6 +167,12 @@ def tier_mesh():
                 scene, cam, **kw, seed=i)),
             ("pallas_bvh_mxu", lambda i: render_flat_bvh_megakernel(
                 scene_sl, cam, **kw, seed=i, mxu_leaf=True)),
+            ("pallas_bvh_mxu_3pass", lambda i: render_flat_bvh_megakernel(
+                scene_sl, cam, **kw, seed=i, mxu_leaf=True,
+                mxu_precision="high")),
+            ("pallas_bvh_mxu_bf16", lambda i: render_flat_bvh_megakernel(
+                scene_sl, cam, **kw, seed=i, mxu_leaf=True,
+                mxu_precision="default")),
             ("bvh_sorted", lambda i: render_flat_bvh_sorted(
                 scene, cam, **kw, seed=i)),
             ("bvh_nosort", lambda i: render_flat_bvh_sorted(

@@ -61,6 +61,10 @@ from . import megakernel as mk
 
 _HI = jax.lax.Precision.HIGHEST
 _CD = (((1,), (0,)), ((), ()))  # contract lhs dim 1 with rhs dim 0
+_CD0 = (((0,), (0,)), ((), ()))  # contract lhs dim 0 with rhs dim 0
+# (A^T @ B without materializing the transpose: Mosaic takes the
+# contraction dims directly, so the (8, N) coefficient blocks feed the
+# MXU as stored)
 
 TILE_H = mk.TILE_H
 TILE_W = mk.TILE_W
@@ -132,6 +136,7 @@ def make_packet_intersect(
     pops_per_iter: int = 1,
     dummy_row: int | None = None,
     mxu_refs=None,
+    mxu_precision=_HI,
 ):
     """Build the ``intersect_fn`` plugged into ``trace_tile``.
 
@@ -166,7 +171,7 @@ def make_packet_intersect(
         if mxu_refs is not None:
             leaf_visit = _make_mxu_leaf_visit(
                 *mxu_refs, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
-                o3, d3,
+                o3, d3, precision=mxu_precision,
             )
         run_packet_traversal(
             pairs_ref, tris_ref, stack_ref,
@@ -195,7 +200,7 @@ def make_packet_intersect(
 
 def _make_mxu_leaf_visit(cuv_ref, ct_ref, cpay_ref,
                          bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
-                         o3, d3):
+                         o3, d3, precision=_HI):
     """Plücker superleaf block visit: the `mxu_megakernel` streaming visit
     re-anchored under the pruned pair-record traversal.
 
@@ -245,16 +250,16 @@ def _make_mxu_leaf_visit(cuv_ref, ct_ref, cpay_ref,
     def visit(ptr, cnt, hitm):
         del cnt, hitm
         base = ptr * BLOCK_ROWS
-        cuv_t = jnp.transpose(cuv_ref[pl.ds(base, BLOCK_ROWS), :])
-        ct_t = jnp.transpose(ct_ref[pl.ds(base, BLOCK_ROWS), :])
+        cuv = cuv_ref[pl.ds(base, BLOCK_ROWS), :]
+        ct = ct_ref[pl.ds(base, BLOCK_ROWS), :]
         cpay = cpay_ref[pl.ds(base, BLOCK_ROWS), :]
         for s in range(n_sub):
             quv = jax.lax.dot_general(
-                cuv_t, fuv[s], _CD, precision=_HI,
+                cuv, fuv[s], _CD0, precision=precision,
                 preferred_element_type=jnp.float32,
             )
             t_num = jax.lax.dot_general(
-                ct_t, fo1[s], _CD, precision=_HI,
+                ct, fo1[s], _CD0, precision=precision,
                 preferred_element_type=jnp.float32,
             )
             det = quv[0:SUPERLEAF]
@@ -557,7 +562,7 @@ def _kernel(
     seed_ref, off_ref, cam_ref, mat_ref, sph_ref, pairs_ref, *rest,
     spp, max_depth, width, height, n_spheres, n_mats, root,
     rows_per_leaf, max_leaf, inclusive_uv, tile_h, pops_per_iter, dummy_row,
-    has_lens=False, normalize=True, use_mxu=False,
+    has_lens=False, normalize=True, use_mxu=False, mxu_precision="highest",
 ):
     if use_mxu:
         (cuv_ref, ct_ref, cpay_ref, out_r, out_g, out_b,
@@ -593,6 +598,7 @@ def _kernel(
         root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
         pops_per_iter=pops_per_iter, dummy_row=dummy_row,
         mxu_refs=mxu_refs,
+        mxu_precision=jax.lax.Precision(mxu_precision),
     )
     r, g, b = mk.trace_tile(
         (row * width + col).astype(jnp.uint32),
@@ -740,13 +746,14 @@ def pack_materials_jnp(materials):
     static_argnames=(
         "width", "height", "spp", "max_depth", "n_spheres", "n_mats",
         "inclusive_uv", "interpret", "tile_h", "pops_per_iter",
-        "n_rows", "normalize", "mxu_leaf",
+        "n_rows", "normalize", "mxu_leaf", "mxu_precision",
     ),
 )
 def _launch(
     seed_arr, off_arr, scene, camera, *, width, height, spp, max_depth,
     n_spheres, n_mats, inclusive_uv, interpret, tile_h=TILE_H,
     pops_per_iter=1, n_rows=None, normalize=True, mxu_leaf=False,
+    mxu_precision="highest",
 ):
     if mxu_leaf:
         # pair-record tree whose leaves are Plücker superleaf blocks
@@ -786,6 +793,7 @@ def _launch(
         inclusive_uv=inclusive_uv, tile_h=tile_h,
         pops_per_iter=pops_per_iter, dummy_row=packed.pairs.shape[0],
         has_lens=camera.has_lens, normalize=normalize, use_mxu=mxu_leaf,
+        mxu_precision=mxu_precision,
     )
     # under shard_map the outputs vary across the mesh axes the inputs do;
     # jax requires that declared on the out ShapeDtypeStructs (vma)
@@ -926,6 +934,7 @@ def render_flat_bvh_megakernel(
     tile_h: int = 32,
     pops_per_iter: int | None = None,
     mxu_leaf: bool = False,
+    mxu_precision: str = "highest",
 ):
     """Pallas packet-BVH render → flat (H*W, 3) bottom-up HDR buffer.
 
@@ -942,6 +951,11 @@ def render_flat_bvh_megakernel(
     the same pruned pair-record walk, but each leaf is a 128-triangle
     Plücker block intersected on the MXU (``accel.mxu.attach_superleaf``).
     Fewer, fatter leaves → a shallower tree with fewer vector→scalar pops.
+
+    ``mxu_precision``: MXU pass count for the Plücker contractions —
+    "highest" (6 bf16 passes, fp32-exact), "high" (3 passes), "default"
+    (1 pass, bf16-rounded inputs).  Lower tiers trade leaf-test precision
+    (u/v edge decisions, t depth ordering ~1e-3 relative) for MXU time.
     """
     tree = _require_tree(scene, mxu_leaf)
     if tile_h not in (8, 16, 32, 64):
@@ -968,6 +982,7 @@ def render_flat_bvh_megakernel(
         tile_h=tile_h,
         pops_per_iter=pops_per_iter,
         mxu_leaf=mxu_leaf,
+        mxu_precision=mxu_precision,
     )
     return mk._crop_flat(r, g, b, width, height)
 
