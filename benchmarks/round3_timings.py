@@ -189,6 +189,46 @@ def tier_mesh():
                         engine=engine, ok=False, error=repr(e))
 
 
+def tier_meshgrad():
+    """Differentiable MESH step (fwd packet-BVH Pallas + bwd wavefront VJP
+    at grad_spp=2): the mesh analogue of the bench.py hybrid headline."""
+    import jax
+
+    from spira_tpu.render import render_flat_hybrid_grad_mesh
+
+    rays = W * H * SPP * DEPTH
+    kw = dict(width=W, height=H, spp=SPP, max_depth=DEPTH)
+    for tier_name, scene_fn in [("mesh1600", lambda: _mesh_scene(3)),
+                                ("bunny", _bunny_scene)]:
+        scene, cam, ntris = scene_fn()
+        a0 = scene.materials.albedo
+
+        @jax.jit
+        def step(albedo, seed, _scene=scene, _cam=cam):
+            from spira_tpu.core.types import replace
+
+            def loss_fn(a):
+                sc = replace(_scene,
+                             materials=replace(_scene.materials, albedo=a))
+                img = render_flat_hybrid_grad_mesh(
+                    sc, _cam, **kw, seed=seed, grad_spp=2)
+                return jnp.mean(img)
+
+            return jax.value_and_grad(loss_fn)(albedo)
+
+        try:
+            dt, compile_s = _time(
+                lambda i: step(a0, jnp.int32(i))[1], 3)
+            _record(tier="meshgrad", scene=tier_name, tris=ntris,
+                    engine="hybrid_mesh fwd-pallas_bvh/bwd-wavefront",
+                    fwd_bwd_mrays_s=round(rays / dt / 1e6, 1),
+                    grad_spp=2, run_ms=round(dt * 1e3, 1),
+                    compile_s=round(compile_s, 1))
+        except Exception as e:
+            _record(tier="meshgrad", scene=tier_name, tris=ntris,
+                    engine="hybrid_mesh", ok=False, error=repr(e))
+
+
 def tier_spectral():
     from spira_tpu.kernels.spectral_bvh import (
         render_flat_spectral_bvh_megakernel,
@@ -239,12 +279,12 @@ def tier_spectral():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tier", default="all",
-                    choices=["smoke", "mesh", "spectral", "all"])
+                    choices=["smoke", "mesh", "meshgrad", "spectral", "all"])
     args = ap.parse_args()
-    tiers = (["smoke", "mesh", "spectral"] if args.tier == "all"
+    tiers = (["smoke", "mesh", "spectral", "meshgrad"] if args.tier == "all"
              else [args.tier])
     for t in tiers:
-        {"smoke": tier_smoke, "mesh": tier_mesh,
+        {"smoke": tier_smoke, "mesh": tier_mesh, "meshgrad": tier_meshgrad,
          "spectral": tier_spectral}[t]()
 
 

@@ -344,6 +344,107 @@ def render_flat_engine(
     )
 
 
+# ----------------------------------------------------------------------------
+# Hybrid differentiable MESH render: packet-BVH Pallas forward, wavefront
+# backward (the mesh analogue of megakernel.render_flat_hybrid_grad)
+# ----------------------------------------------------------------------------
+
+from functools import lru_cache as _lru_cache
+
+
+@_lru_cache(maxsize=None)
+def _hybrid_mesh_vjp_fn(width, height, spp, grad_spp, max_depth,
+                        inclusive_uv, fwd_engine):
+    """custom_vjp closure over the static render config (cached per config).
+
+    Forward runs the packet-BVH Pallas megakernel (wavefront on non-TPU
+    backends); backward replays the *wavefront* estimator — whose BVH
+    intersect differentiably recomputes the traversal winner
+    (`accel/traverse.py`), so gradients flow to materials, camera and
+    geometry — via its VJP at ``grad_spp`` samples.  Unlike the sphere
+    hybrid, forward and backward draw from different RNG families (PCG4D
+    vs threefry): the backward is an unbiased independent-stream estimator
+    of the expected-loss gradient rather than the exact gradient of the
+    forward sample — the standard stochastic-rendering-gradient setup.
+    """
+    kw = dict(width=width, height=height, max_depth=max_depth,
+              inclusive_uv=inclusive_uv)
+
+    @jax.custom_vjp
+    def f(scene, camera, seed):
+        if fwd_engine in ("pallas_bvh", "pallas_bvh_interpret"):
+            from .kernels.bvh_megakernel import render_flat_bvh_megakernel
+
+            return render_flat_bvh_megakernel(
+                scene, camera, spp=spp, seed=seed,
+                interpret=fwd_engine.endswith("interpret"), **kw
+            )
+        if fwd_engine in ("pallas_bvh_mxu", "pallas_bvh_mxu_interpret"):
+            from .kernels.bvh_megakernel import render_flat_bvh_megakernel
+
+            return render_flat_bvh_megakernel(
+                scene, camera, spp=spp, seed=seed, mxu_leaf=True,
+                interpret=fwd_engine.endswith("interpret"), **kw
+            )
+        return render_flat(
+            scene, camera, spp=spp, seed=seed, semantics="physical", **kw
+        )
+
+    def fwd(scene, camera, seed):
+        return f(scene, camera, seed), (scene, camera, seed)
+
+    def bwd(res, g):
+        scene, camera, seed = res
+
+        def replay(sc, cam):
+            return render_flat(
+                sc, cam, spp=grad_spp, seed=seed, semantics="physical", **kw
+            )
+
+        _, vjp = jax.vjp(replay, scene, camera)
+        d_scene, d_camera = vjp(g)
+        return d_scene, d_camera, np.zeros((), jax.dtypes.float0)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def render_flat_hybrid_grad_mesh(
+    scene,
+    camera,
+    *,
+    width: int,
+    height: int,
+    spp: int = 16,
+    max_depth: int = 4,
+    seed: int = 0,
+    grad_spp: int | None = None,
+    inclusive_uv: bool = True,
+    engine: str | None = None,
+):
+    """Differentiable MESH render at packet-BVH Pallas-forward speed.
+
+    Forward: the packet-BVH megakernel (or its MXU-superleaf variant via
+    ``engine="pallas_bvh_mxu"``).  Backward: the wavefront estimator's VJP
+    over ``grad_spp`` samples (default: ``spp``), through the
+    stop-gradient traversal + differentiable winner recompute — so
+    material, camera AND geometry gradients flow for arbitrarily large
+    meshes.  Extends BASELINE's "pixel gradients w.r.t. material SPDs,
+    geometry, and camera" to the fast mesh engine (reference has no
+    differentiable path at all).
+    """
+    if engine is None:
+        engine = (
+            "pallas_bvh" if jax.default_backend() == "tpu" else "wavefront"
+        )
+    f = _hybrid_mesh_vjp_fn(
+        width, height, spp,
+        grad_spp if grad_spp is not None else spp,
+        max_depth, inclusive_uv, engine,
+    )
+    return f(scene, camera, jnp.int32(seed))
+
+
 def render_hdr(scene, camera, width, height, **kw) -> jnp.ndarray:
     """Render to an (H, W, 3) top-down HDR image."""
     flat = render_flat_engine(scene, camera, width=width, height=height, **kw)

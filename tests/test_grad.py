@@ -409,3 +409,51 @@ def test_shading_normal_gradients_flow_through_bvh_render():
     g = np.asarray(jax.jit(jax.grad(loss))(scene.triangles.normal))
     assert np.isfinite(g).all()
     assert np.abs(g).max() > 0
+
+
+@pytest.mark.slow
+def test_hybrid_mesh_grad_forward_is_packet_backward_is_wavefront():
+    """The mesh hybrid (`render_flat_hybrid_grad_mesh`): forward value is
+    exactly the packet-BVH Pallas render; its custom_vjp gradient is
+    exactly the wavefront replay's gradient (independent-stream unbiased
+    estimator of the expected-loss gradient)."""
+    from spira_tpu.accel.pairs import attach_packed
+    from spira_tpu.kernels.bvh_megakernel import render_flat_bvh_megakernel
+    from spira_tpu.render import render_flat, render_flat_hybrid_grad_mesh
+    from spira_tpu.scene.camera import make_camera
+    from spira_tpu.scene.scene import create_mesh_scene
+
+    scene = attach_packed(create_mesh_scene(subdivisions=1))
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=128.0 / 16.0)
+    kw = dict(width=128, height=16, spp=2, max_depth=2, seed=3)
+
+    # forward: bit-identical to the packet engine
+    val = np.asarray(render_flat_hybrid_grad_mesh(
+        scene, cam, engine="pallas_bvh_interpret", **kw))
+    direct = np.asarray(render_flat_bvh_megakernel(
+        scene, cam, interpret=True, **kw))
+    np.testing.assert_array_equal(val, direct)
+
+    # backward: identical to grad of the wavefront replay
+    from spira_tpu.core.types import replace
+
+    def with_albedo(albedo):
+        return replace(scene, materials=replace(scene.materials,
+                                                albedo=albedo))
+
+    def loss_hybrid(albedo):
+        img = render_flat_hybrid_grad_mesh(
+            with_albedo(albedo), cam, engine="pallas_bvh_interpret", **kw)
+        return jnp.mean(img)
+
+    def loss_replay(albedo):
+        img = render_flat(with_albedo(albedo), cam, semantics="physical",
+                          **kw)
+        return jnp.mean(img)
+
+    a0 = scene.materials.albedo
+    gh = np.asarray(jax.grad(loss_hybrid)(a0))
+    gr = np.asarray(jax.grad(loss_replay)(a0))
+    assert np.abs(gh).max() > 0
+    np.testing.assert_allclose(gh, gr, rtol=1e-6)
