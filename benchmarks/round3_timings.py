@@ -193,6 +193,7 @@ def tier_meshgrad():
     """Differentiable MESH step (fwd packet-BVH Pallas + bwd wavefront VJP
     at grad_spp=2): the mesh analogue of the bench.py hybrid headline."""
     import jax
+    import jax.numpy as jnp
 
     from spira_tpu.render import render_flat_hybrid_grad_mesh
 
@@ -200,7 +201,12 @@ def tier_meshgrad():
     kw = dict(width=W, height=H, spp=SPP, max_depth=DEPTH)
     for tier_name, scene_fn in [("mesh1600", lambda: _mesh_scene(3)),
                                 ("bunny", _bunny_scene)]:
-        scene, cam, ntris = scene_fn()
+        try:
+            scene, cam, ntris = scene_fn()
+        except Exception as e:
+            _record(tier="meshgrad", scene=tier_name, ok=False,
+                    error=repr(e))
+            continue
         a0 = scene.materials.albedo
 
         @jax.jit

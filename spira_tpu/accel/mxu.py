@@ -355,7 +355,11 @@ def pack_bvh_superleaf(bvh, tris, superleaf: int = SUPERLEAF) -> SuperleafBVH:
         )
     )
 
-    # pair records over the contracted tree (internal nodes above the cut)
+    # pair records over the contracted tree (internal nodes above the cut);
+    # construction shared with accel.pairs (only the leaf payload differs:
+    # superleaf BLOCK index instead of tri-row pointer)
+    from .pairs import build_pair_records, pad8
+
     internal = []
     if not is_cut[0]:
         stk = [0]
@@ -363,54 +367,15 @@ def pack_bvh_superleaf(bvh, tris, superleaf: int = SUPERLEAF) -> SuperleafBVH:
             i = stk.pop()
             internal.append(i)
             stk.extend(c for c in kids(i) if not is_cut[c])
-    pair_of = {i: k for k, i in enumerate(internal)}
-    root_is_cut = bool(is_cut[0])
-    total_pairs = max(len(internal) + (1 if root_is_cut else 0), 1)
-    pairs = np.zeros((total_pairs, 16), np.float32)
 
-    def entry(c: int):
-        if is_cut[c]:
-            return node_min[c], node_max[c], leaf_id[c], int(tricount[c])
-        return node_min[c], node_max[c], pair_of[c], 0
-
-    empty = (np.zeros(3, np.float32), np.zeros(3, np.float32), 0, -1)
-
-    def fill(rec, half, ent):
-        lo3, hi3, ptr, cnt = ent
-        base = 8 * half
-        rec[base : base + 3] = lo3
-        rec[base + 3 : base + 6] = hi3
-        rec[base + 6] = float(ptr)
-        rec[base + 7] = float(cnt)
-
-    for i in internal:
-        rec = pairs[pair_of[i]]
-        ks = kids(i)
-        fill(rec, 0, entry(ks[0]))
-        fill(rec, 1, entry(ks[1]) if len(ks) == 2 else empty)
-
-    if root_is_cut:
-        root = len(internal)
-        fill(pairs[root], 0, entry(0))
-        fill(pairs[root], 1, empty)
-    else:
-        root = pair_of[0]
-
-    # longest root->leaf pair chain (stack-depth validation in the kernel)
-    depth = 1
-    chain = [(int(root), 1)]
-    while chain:
-        rec, d = chain.pop()
-        depth = max(depth, d)
-        for half in (0, 1):
-            if pairs[rec, 8 * half + 7] == 0.0:  # internal child
-                chain.append((int(pairs[rec, 8 * half + 6]), d + 1))
-
-    def pad8(a):
-        p = (-a.shape[0]) % 8
-        if p:
-            a = np.concatenate([a, np.zeros((p,) + a.shape[1:], a.dtype)])
-        return a
+    pairs, root, depth = build_pair_records(
+        0,
+        internal,
+        kids,
+        lambda c: is_cut[c],
+        lambda c: (leaf_id[c], int(tricount[c])),
+        lambda c: (node_min[c], node_max[c]),
+    )
 
     return SuperleafBVH(
         pairs=jnp.asarray(pad8(pairs)),
@@ -418,7 +383,7 @@ def pack_bvh_superleaf(bvh, tris, superleaf: int = SUPERLEAF) -> SuperleafBVH:
         coeff_t=jnp.asarray(np.concatenate(t_blocks, axis=0)),
         coeff_pay=jnp.asarray(np.concatenate(pay_blocks, axis=0)),
         root=int(root),
-        n_pairs=total_pairs,
+        n_pairs=pairs.shape[0],
         n_blocks=len(uv_blocks),
         depth=depth,
     )

@@ -68,6 +68,84 @@ def _leaf_rows_needed(count: int) -> int:
     return (count + TRIS_PER_ROW - 1) // TRIS_PER_ROW
 
 
+def build_pair_records(root_node, internal, kids, is_leaf_node, leaf_entry,
+                       box):
+    """Shared pair-record construction for every packing that feeds the
+    packet traversal (`pack_bvh` leaf rows, `accel.mxu.pack_bvh_superleaf`
+    MXU blocks — only the leaf payload pointer differs).
+
+    * ``internal``: node ids that get a pair row, in row order.
+    * ``kids(i)``: the 1 or 2 children of internal node ``i`` (1 = the
+      two-level builder's redirect node; the second slot becomes empty).
+    * ``is_leaf_node(c)`` / ``leaf_entry(c) -> (ptr, count)``: what makes a
+      child a leaf and where its payload lives.
+    * ``box(c) -> (min3, max3)``.
+
+    Returns ``(pairs, root_row, depth)`` with ``depth`` the longest
+    root->leaf chain in pair records (the kernel validates its SMEM stack
+    against it).  A leaf root is wrapped in a pseudo pair record.
+    """
+    pair_of = {int(i): k for k, i in enumerate(internal)}
+    root_is_leaf = bool(is_leaf_node(root_node))
+    total_pairs = max(len(internal) + (1 if root_is_leaf else 0), 1)
+    pairs = np.zeros((total_pairs, PAIR_WIDTH), np.float32)
+
+    def entry(c):
+        lo3, hi3 = box(c)
+        if is_leaf_node(c):
+            ptr, cnt = leaf_entry(c)
+            return lo3, hi3, ptr, cnt
+        return lo3, hi3, pair_of[int(c)], 0
+
+    # Empty child slot: cnt == -1 gates it out in the kernel and the oracle;
+    # the box is a harmless point at the origin (inf/NaN-free arithmetic).
+    empty = (np.zeros(3, np.float32), np.zeros(3, np.float32), 0, -1)
+
+    def fill(rec, half, ent):
+        lo3, hi3, ptr, cnt = ent
+        base = 8 * half
+        rec[base + _MIN : base + _MIN + 3] = lo3
+        rec[base + _MAX : base + _MAX + 3] = hi3
+        rec[base + _PTR] = float(ptr)
+        rec[base + _CNT] = float(cnt)
+
+    for i in internal:
+        rec = pairs[pair_of[int(i)]]
+        ks = kids(i)
+        fill(rec, 0, entry(ks[0]))
+        fill(rec, 1, entry(ks[1]) if len(ks) == 2 else empty)
+
+    if root_is_leaf:
+        # degenerate tree: wrap the single leaf in a pseudo pair record
+        root = len(internal)
+        fill(pairs[root], 0, entry(root_node))
+        fill(pairs[root], 1, empty)
+    else:
+        root = pair_of[int(root_node)]
+
+    # longest root->leaf chain through pair records; a two-level tree can
+    # stack a top tree above per-mesh trees, so the builders' per-tree
+    # depth cap does not bound the packed depth by itself
+    depth = 1
+    chain = [(int(root), 1)]
+    while chain:
+        rec, d = chain.pop()
+        depth = max(depth, d)
+        for half in (0, 1):
+            if pairs[rec, 8 * half + _CNT] == 0.0:  # internal child
+                chain.append((int(pairs[rec, 8 * half + _PTR]), d + 1))
+
+    return pairs, int(root), depth
+
+
+def pad8(a: np.ndarray) -> np.ndarray:
+    """Pad the sublane (leading) dim to a multiple of 8."""
+    p = (-a.shape[0]) % 8
+    if p:
+        a = np.concatenate([a, np.zeros((p,) + a.shape[1:], a.dtype)])
+    return a
+
+
 def pack_bvh(bvh, tris, materials=None) -> PackedBVH:
     """Convert a FlatBVH + Triangles into pair records + packed tri rows.
 
@@ -87,16 +165,7 @@ def pack_bvh(bvh, tris, materials=None) -> PackedBVH:
     nrm = np.asarray(tris.normal, np.float32)
     mat = np.asarray(tris.material, np.float32)
 
-    m = node_min.shape[0]
     internal = np.nonzero(is_leaf == 0)[0]
-    # pair row index for every internal node (leaves have no pair row)
-    pair_of = np.full(m, -1, np.int64)
-    pair_of[internal] = np.arange(internal.shape[0])
-
-    n_pairs = internal.shape[0]
-    root_is_leaf = bool(is_leaf[0] == 1)
-    total_pairs = max(n_pairs + (1 if root_is_leaf else 0), 1)
-    pairs = np.zeros((total_pairs, PAIR_WIDTH), np.float32)
 
     # --- pack leaf triangle rows (one pass to size, one to fill)
     leaves = np.nonzero(is_leaf == 1)[0]
@@ -121,72 +190,26 @@ def pack_bvh(bvh, tris, materials=None) -> PackedBVH:
         tri_rows[row : row + need] = flat
         row += need
 
-    # --- child entry helper
-    def entry(c: int):
-        """(min3, max3, ptr, count) for child node c."""
-        if is_leaf[c] == 1:
-            return node_min[c], node_max[c], leaf_row[int(c)], int(right[c])
-        return node_min[c], node_max[c], int(pair_of[c]), 0
-
-    # Empty child slot: cnt == -1 gates it out in the kernel and the oracle;
-    # the box is a harmless point at the origin (inf/NaN-free arithmetic).
-    empty = (np.zeros(3, np.float32), np.zeros(3, np.float32), 0, -1)
-
-    def fill(rec, half, ent):
-        lo3, hi3, ptr, cnt = ent
-        base = 8 * half
-        rec[base + _MIN : base + _MIN + 3] = lo3
-        rec[base + _MAX : base + _MAX + 3] = hi3
-        rec[base + _PTR] = float(ptr)
-        rec[base + _CNT] = float(cnt)
-
-    max_leaf = 1
-    for i in internal:
-        rec = pairs[pair_of[i]]
+    def kids(i):
         l, r = int(left[i]), int(right[i])
-        if l == r:  # two-level redirect node: single child
-            fill(rec, 0, entry(l))
-            fill(rec, 1, empty)
-        else:
-            fill(rec, 0, entry(l))
-            fill(rec, 1, entry(r))
-    if leaves.size:
-        max_leaf = int(right[leaves].max())
+        return [l] if l == r else [l, r]  # l == r: two-level redirect node
 
-    if root_is_leaf:
-        # degenerate tree: wrap the single leaf in a pseudo pair record
-        root = n_pairs
-        fill(pairs[root], 0, entry(0))
-        fill(pairs[root], 1, empty)
-    else:
-        root = int(pair_of[0])
-
-    # longest root->leaf chain through pair records; the packet kernel
-    # sizes/validates its SMEM traversal stack against this (a two-level
-    # tree can stack a top tree above per-mesh trees, so the builders'
-    # per-tree depth cap does not bound the packed depth by itself)
-    depth = 1
-    chain = [(int(root), 1)]
-    while chain:
-        rec, d = chain.pop()
-        depth = max(depth, d)
-        for half in (0, 1):
-            if pairs[rec, 8 * half + _CNT] == 0.0:  # internal child
-                chain.append((int(pairs[rec, 8 * half + _PTR]), d + 1))
-
-    # pad sublane dims to multiples of 8
-    def pad8(a):
-        p = (-a.shape[0]) % 8
-        if p:
-            a = np.concatenate([a, np.zeros((p,) + a.shape[1:], a.dtype)])
-        return a
+    pairs, root, depth = build_pair_records(
+        0,
+        internal,
+        kids,
+        lambda c: is_leaf[c] == 1,
+        lambda c: (leaf_row[int(c)], int(right[c])),
+        lambda c: (node_min[c], node_max[c]),
+    )
+    max_leaf = int(right[leaves].max()) if leaves.size else 1
 
     return PackedBVH(
         pairs=jnp.asarray(pad8(pairs)),
         tri_rows=jnp.asarray(pad8(tri_rows)),
         root=root,
         n_rows=total_rows,
-        n_pairs=total_pairs,
+        n_pairs=pairs.shape[0],
         max_leaf=max_leaf,
         depth=depth,
     )

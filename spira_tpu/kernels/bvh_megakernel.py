@@ -330,232 +330,231 @@ def run_packet_traversal(
     K = pops_per_iter
     if K > 1 and dummy_row is None:
         raise ValueError("pops_per_iter > 1 requires a dummy_row")
-    if True:  # keep the original body's indentation
-        ox, oy, oz = o3
-        dx, dy, dz = d3
-        n_lanes = int(np.prod(dx.shape))
-        inv_n = np.float32(1.0 / n_lanes)
-        # the packed two-child any-hit reduce decodes count0 via
-        # s - floor(s/PLANE)*PLANE, which requires count0 < PLANE strictly
-        # (count0 == PLANE aliases into count1); >= switches to int32 sum
-        use_int_reduce = n_lanes >= int(_PLANE)
+    ox, oy, oz = o3
+    dx, dy, dz = d3
+    n_lanes = int(np.prod(dx.shape))
+    inv_n = np.float32(1.0 / n_lanes)
+    # the packed two-child any-hit reduce decodes count0 via
+    # s - floor(s/PLANE)*PLANE, which requires count0 < PLANE strictly
+    # (count0 == PLANE aliases into count1); >= switches to int32 sum
+    use_int_reduce = n_lanes >= int(_PLANE)
 
-        inv_dx = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, jnp.float32(1e12))
-        inv_dy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, jnp.float32(1e12))
-        inv_dz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, jnp.float32(1e12))
+    inv_dx = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, jnp.float32(1e12))
+    inv_dy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, jnp.float32(1e12))
+    inv_dz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, jnp.float32(1e12))
 
-        bt_ref[:] = best_t0
-        tnx_ref[:] = jnp.zeros_like(dx)
-        tny_ref[:] = jnp.zeros_like(dx)
-        tnz_ref[:] = jnp.zeros_like(dx)
-        mid_ref[:] = jnp.full_like(dx, -1.0)
+    bt_ref[:] = best_t0
+    tnx_ref[:] = jnp.zeros_like(dx)
+    tny_ref[:] = jnp.zeros_like(dx)
+    tnz_ref[:] = jnp.zeros_like(dx)
+    mid_ref[:] = jnp.full_like(dx, -1.0)
 
-        # packet mean ray for the ordered-descent heuristic (6 reduces,
-        # amortized over the whole traversal)
-        omx = jnp.sum(ox) * inv_n
-        omy = jnp.sum(oy) * inv_n
-        omz = jnp.sum(oz) * inv_n
-        dmx = jnp.sum(dx) * inv_n
-        dmy = jnp.sum(dy) * inv_n
-        dmz = jnp.sum(dz) * inv_n
+    # packet mean ray for the ordered-descent heuristic (6 reduces,
+    # amortized over the whole traversal)
+    omx = jnp.sum(ox) * inv_n
+    omy = jnp.sum(oy) * inv_n
+    omz = jnp.sum(oz) * inv_n
+    dmx = jnp.sum(dx) * inv_n
+    dmy = jnp.sum(dy) * inv_n
+    dmz = jnp.sum(dz) * inv_n
 
-        if leaf_visit is None:
+    if leaf_visit is None:
 
-            def leaf_visit(ptr, cnt, hitm):
-                cnt_i = cnt.astype(jnp.int32)
-                best_l = bt_ref[:]
-                nx_l = tnx_ref[:]
-                ny_l = tny_ref[:]
-                nz_l = tnz_ref[:]
-                mid_l = mid_ref[:]
-                for rr in range(rows_per_leaf):
-                    rowv = tris_ref[pl.ds(ptr + rr, 1), :]  # (1, 128)
-                    for j in range(TRIS_PER_ROW):
-                        jj = rr * TRIS_PER_ROW + j
-                        if jj >= max_leaf:
-                            break
-                        lane = TRI_STRIDE * j
-                        v0x = rowv[0, lane + 0]
-                        v0y = rowv[0, lane + 1]
-                        v0z = rowv[0, lane + 2]
-                        e1x = rowv[0, lane + 3]
-                        e1y = rowv[0, lane + 4]
-                        e1z = rowv[0, lane + 5]
-                        e2x = rowv[0, lane + 6]
-                        e2y = rowv[0, lane + 7]
-                        e2z = rowv[0, lane + 8]
-                        nxc = rowv[0, lane + 9]
-                        nyc = rowv[0, lane + 10]
-                        nzc = rowv[0, lane + 11]
-                        matf = rowv[0, lane + 12]
-                        # Möller–Trumbore, identical formulas to
-                        # megakernel.tri_unroll (broadcast scalars)
-                        pvx = dy * e2z - dz * e2y
-                        pvy = dz * e2x - dx * e2z
-                        pvz = dx * e2y - dy * e2x
-                        det = e1x * pvx + e1y * pvy + e1z * pvz
-                        det_ok = jnp.abs(det) > 1e-12
-                        inv_det = jnp.where(
-                            det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
-                        )
-                        tvx = ox - v0x
-                        tvy = oy - v0y
-                        tvz = oz - v0z
-                        uu = (
-                            tvx * pvx + tvy * pvy + tvz * pvz
-                        ) * inv_det
-                        qvx = tvy * e1z - tvz * e1y
-                        qvy = tvz * e1x - tvx * e1z
-                        qvz = tvx * e1y - tvy * e1x
-                        vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                        hit_k = (
-                            (jnp.abs(det) > 1e-9)
-                            & (uu >= 0.0)
-                            & (vv >= 0.0)
-                            & (uu + vv <= 1.0)
-                            & (tt > T_MIN)
-                            & (tt < best_l)
-                            & hitm
-                            & (jj < cnt_i)
-                        )
-                        best_l = jnp.where(hit_k, tt, best_l)
-                        nx_l = jnp.where(hit_k, nxc, nx_l)
-                        ny_l = jnp.where(hit_k, nyc, ny_l)
-                        nz_l = jnp.where(hit_k, nzc, nz_l)
-                        mid_l = jnp.where(hit_k, matf, mid_l)
-                bt_ref[:] = best_l
-                tnx_ref[:] = nx_l
-                tny_ref[:] = ny_l
-                tnz_ref[:] = nz_l
-                mid_ref[:] = mid_l
-
-        activef = active.astype(jnp.float32)
-        stack_ref[0] = np.int32(root)
-        # a packet with no live lanes skips traversal entirely
-        sp0 = jnp.where(jnp.any(active), 1, 0).astype(jnp.int32)
-
-        def cond(sp):
-            return sp > 0
-
-        def body(sp):
-            # pop up to K records; under-full batches read the dummy
-            # (all-empty) record whose children can never hit or push
-            ps = []
-            for i in range(K):
-                if K == 1:
-                    ps.append(stack_ref[sp - 1])
-                else:
-                    valid = (sp - 1 - i) >= 0
-                    idx = jnp.maximum(sp - 1 - i, 0)
-                    ps.append(
-                        jnp.where(valid, stack_ref[idx], np.int32(dummy_row))
+        def leaf_visit(ptr, cnt, hitm):
+            cnt_i = cnt.astype(jnp.int32)
+            best_l = bt_ref[:]
+            nx_l = tnx_ref[:]
+            ny_l = tny_ref[:]
+            nz_l = tnz_ref[:]
+            mid_l = mid_ref[:]
+            for rr in range(rows_per_leaf):
+                rowv = tris_ref[pl.ds(ptr + rr, 1), :]  # (1, 128)
+                for j in range(TRIS_PER_ROW):
+                    jj = rr * TRIS_PER_ROW + j
+                    if jj >= max_leaf:
+                        break
+                    lane = TRI_STRIDE * j
+                    v0x = rowv[0, lane + 0]
+                    v0y = rowv[0, lane + 1]
+                    v0z = rowv[0, lane + 2]
+                    e1x = rowv[0, lane + 3]
+                    e1y = rowv[0, lane + 4]
+                    e1z = rowv[0, lane + 5]
+                    e2x = rowv[0, lane + 6]
+                    e2y = rowv[0, lane + 7]
+                    e2z = rowv[0, lane + 8]
+                    nxc = rowv[0, lane + 9]
+                    nyc = rowv[0, lane + 10]
+                    nzc = rowv[0, lane + 11]
+                    matf = rowv[0, lane + 12]
+                    # Möller–Trumbore, identical formulas to
+                    # megakernel.tri_unroll (broadcast scalars)
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    det_ok = jnp.abs(det) > 1e-12
+                    inv_det = jnp.where(
+                        det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
                     )
-            sp = jnp.maximum(sp - K, 0)
-            best = bt_ref[:]
-
-            # all 2K children's slab tests as straight-line VPU code
-            hits = []
-            ents = []
-            prjs = []
-            for i in range(K):
-                rec = pairs_ref[pl.ds(ps[i], 1), :]  # (1, 16) both children
-                for half in (0, 1):
-                    b = 8 * half
-                    lox = rec[0, b + 0]
-                    loy = rec[0, b + 1]
-                    loz = rec[0, b + 2]
-                    hix = rec[0, b + 3]
-                    hiy = rec[0, b + 4]
-                    hiz = rec[0, b + 5]
-                    ptr = rec[0, b + 6].astype(jnp.int32)
-                    cnt = rec[0, b + 7]
-                    t0 = (lox - ox) * inv_dx
-                    t1 = (hix - ox) * inv_dx
-                    tn = jnp.minimum(t0, t1)
-                    tf = jnp.maximum(t0, t1)
-                    t0 = (loy - oy) * inv_dy
-                    t1 = (hiy - oy) * inv_dy
-                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-                    t0 = (loz - oz) * inv_dz
-                    t1 = (hiz - oz) * inv_dz
-                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-                    hitm = (
-                        jnp.maximum(tn, 0.0) <= jnp.minimum(tf, best)
-                    ) & (cnt > -0.5)
-                    hits.append(hitm)
-                    ents.append((ptr, cnt))
-                    prjs.append(
-                        (0.5 * (lox + hix) - omx) * dmx
-                        + (0.5 * (loy + hiy) - omy) * dmy
-                        + (0.5 * (loz + hiz) - omz) * dmz
+                    tvx = ox - v0x
+                    tvy = oy - v0y
+                    tvz = oz - v0z
+                    uu = (
+                        tvx * pvx + tvy * pvy + tvz * pvz
+                    ) * inv_det
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    hit_k = (
+                        (jnp.abs(det) > 1e-9)
+                        & (uu >= 0.0)
+                        & (vv >= 0.0)
+                        & (uu + vv <= 1.0)
+                        & (tt > T_MIN)
+                        & (tt < best_l)
+                        & hitm
+                        & (jj < cnt_i)
                     )
+                    best_l = jnp.where(hit_k, tt, best_l)
+                    nx_l = jnp.where(hit_k, nxc, nx_l)
+                    ny_l = jnp.where(hit_k, nyc, ny_l)
+                    nz_l = jnp.where(hit_k, nzc, nz_l)
+                    mid_l = jnp.where(hit_k, matf, mid_l)
+            bt_ref[:] = best_l
+            tnx_ref[:] = nx_l
+            tny_ref[:] = ny_l
+            tnz_ref[:] = nz_l
+            mid_ref[:] = mid_l
 
-            # ONE vector→scalar readback decodes all 2K any-hit bits
+    activef = active.astype(jnp.float32)
+    stack_ref[0] = np.int32(root)
+    # a packet with no live lanes skips traversal entirely
+    sp0 = jnp.where(jnp.any(active), 1, 0).astype(jnp.int32)
+
+    def cond(sp):
+        return sp > 0
+
+    def body(sp):
+        # pop up to K records; under-full batches read the dummy
+        # (all-empty) record whose children can never hit or push
+        ps = []
+        for i in range(K):
             if K == 1:
-                if use_int_reduce:
-                    packed_i = (
-                        hits[0].astype(jnp.int32)
-                        + (hits[1].astype(jnp.int32) << 16)
-                    ) * active.astype(jnp.int32)
-                    si = jnp.sum(packed_i)
-                    anyhits = ((si & 0xFFFF) > 0, (si >> 16) > 0)
-                else:
-                    packed = (
-                        hits[0].astype(jnp.float32)
-                        + hits[1].astype(jnp.float32) * _PLANE
-                    ) * activef
-                    s = jnp.sum(packed)
-                    c1 = jnp.floor(s * np.float32(1.0 / float(_PLANE)))
-                    anyhits = ((s - c1 * _PLANE) > 0.5, c1 > 0.5)
+                ps.append(stack_ref[sp - 1])
             else:
-                # bitmask OR-tree: per-lane 2K-bit masks folded across lanes
-                # and sublanes with rolls, one scalar extract for the batch
-                m = hits[0].astype(jnp.int32)
-                for j in range(1, 2 * K):
-                    m = m + (hits[j].astype(jnp.int32) << j)
-                m = jnp.where(active, m, 0)
-                for sh in (64, 32, 16, 8, 4, 2, 1):
-                    m = m | pltpu.roll(m, sh, 1)
-                sh = dx.shape[0] // 2
-                while sh >= 1:
-                    m = m | pltpu.roll(m, sh, 0)
-                    sh //= 2
-                bits = m[0, 0]
-                anyhits = tuple(
-                    ((bits >> j) & 1) > 0 for j in range(2 * K)
+                valid = (sp - 1 - i) >= 0
+                idx = jnp.maximum(sp - 1 - i, 0)
+                ps.append(
+                    jnp.where(valid, stack_ref[idx], np.int32(dummy_row))
+                )
+        sp = jnp.maximum(sp - K, 0)
+        best = bt_ref[:]
+
+        # all 2K children's slab tests as straight-line VPU code
+        hits = []
+        ents = []
+        prjs = []
+        for i in range(K):
+            rec = pairs_ref[pl.ds(ps[i], 1), :]  # (1, 16) both children
+            for half in (0, 1):
+                b = 8 * half
+                lox = rec[0, b + 0]
+                loy = rec[0, b + 1]
+                loz = rec[0, b + 2]
+                hix = rec[0, b + 3]
+                hiy = rec[0, b + 4]
+                hiz = rec[0, b + 5]
+                ptr = rec[0, b + 6].astype(jnp.int32)
+                cnt = rec[0, b + 7]
+                t0 = (lox - ox) * inv_dx
+                t1 = (hix - ox) * inv_dx
+                tn = jnp.minimum(t0, t1)
+                tf = jnp.maximum(t0, t1)
+                t0 = (loy - oy) * inv_dy
+                t1 = (hiy - oy) * inv_dy
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                t0 = (loz - oz) * inv_dz
+                t1 = (hiz - oz) * inv_dz
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                hitm = (
+                    jnp.maximum(tn, 0.0) <= jnp.minimum(tf, best)
+                ) & (cnt > -0.5)
+                hits.append(hitm)
+                ents.append((ptr, cnt))
+                prjs.append(
+                    (0.5 * (lox + hix) - omx) * dmx
+                    + (0.5 * (loy + hiy) - omy) * dmy
+                    + (0.5 * (loz + hiz) - omz) * dmz
                 )
 
-            for half in range(2 * K):
-                ptr, cnt = ents[half]
-                hitm = hits[half] & active
+        # ONE vector→scalar readback decodes all 2K any-hit bits
+        if K == 1:
+            if use_int_reduce:
+                packed_i = (
+                    hits[0].astype(jnp.int32)
+                    + (hits[1].astype(jnp.int32) << 16)
+                ) * active.astype(jnp.int32)
+                si = jnp.sum(packed_i)
+                anyhits = ((si & 0xFFFF) > 0, (si >> 16) > 0)
+            else:
+                packed = (
+                    hits[0].astype(jnp.float32)
+                    + hits[1].astype(jnp.float32) * _PLANE
+                ) * activef
+                s = jnp.sum(packed)
+                c1 = jnp.floor(s * np.float32(1.0 / float(_PLANE)))
+                anyhits = ((s - c1 * _PLANE) > 0.5, c1 > 0.5)
+        else:
+            # bitmask OR-tree: per-lane 2K-bit masks folded across lanes
+            # and sublanes with rolls, one scalar extract for the batch
+            m = hits[0].astype(jnp.int32)
+            for j in range(1, 2 * K):
+                m = m + (hits[j].astype(jnp.int32) << j)
+            m = jnp.where(active, m, 0)
+            for sh in (64, 32, 16, 8, 4, 2, 1):
+                m = m | pltpu.roll(m, sh, 1)
+            sh = dx.shape[0] // 2
+            while sh >= 1:
+                m = m | pltpu.roll(m, sh, 0)
+                sh //= 2
+            bits = m[0, 0]
+            anyhits = tuple(
+                ((bits >> j) & 1) > 0 for j in range(2 * K)
+            )
 
-                @pl.when(anyhits[half] & (cnt > 0.5))
-                def _leaf(ptr=ptr, cnt=cnt, hitm=hitm):
-                    leaf_visit(ptr, cnt, hitm)
+        for half in range(2 * K):
+            ptr, cnt = ents[half]
+            hitm = hits[half] & active
 
-            # ordered descent: push the far internal child first so the near
-            # one pops first and shrinks best_t before the far subtree runs.
-            # Records push in reverse batch order so record 0's near child
-            # ends on top of the stack (approximate DFS order across a batch)
-            for i in reversed(range(K)):
-                push0 = anyhits[2 * i] & (ents[2 * i][1] == 0.0)
-                push1 = anyhits[2 * i + 1] & (ents[2 * i + 1][1] == 0.0)
-                near0 = prjs[2 * i] <= prjs[2 * i + 1]
-                far_ptr = jnp.where(near0, ents[2 * i + 1][0], ents[2 * i][0])
-                far_push = jnp.where(near0, push1, push0)
-                near_ptr = jnp.where(near0, ents[2 * i][0],
-                                     ents[2 * i + 1][0])
-                near_push = jnp.where(near0, push0, push1)
-                stack_ref[jnp.where(far_push, sp, _DISCARD)] = far_ptr
-                sp = sp + far_push.astype(jnp.int32)
-                stack_ref[jnp.where(near_push, sp, _DISCARD)] = near_ptr
-                sp = sp + near_push.astype(jnp.int32)
-            return sp
+            @pl.when(anyhits[half] & (cnt > 0.5))
+            def _leaf(ptr=ptr, cnt=cnt, hitm=hitm):
+                leaf_visit(ptr, cnt, hitm)
 
-        jax.lax.while_loop(cond, body, sp0)
+        # ordered descent: push the far internal child first so the near
+        # one pops first and shrinks best_t before the far subtree runs.
+        # Records push in reverse batch order so record 0's near child
+        # ends on top of the stack (approximate DFS order across a batch)
+        for i in reversed(range(K)):
+            push0 = anyhits[2 * i] & (ents[2 * i][1] == 0.0)
+            push1 = anyhits[2 * i + 1] & (ents[2 * i + 1][1] == 0.0)
+            near0 = prjs[2 * i] <= prjs[2 * i + 1]
+            far_ptr = jnp.where(near0, ents[2 * i + 1][0], ents[2 * i][0])
+            far_push = jnp.where(near0, push1, push0)
+            near_ptr = jnp.where(near0, ents[2 * i][0],
+                                 ents[2 * i + 1][0])
+            near_push = jnp.where(near0, push0, push1)
+            stack_ref[jnp.where(far_push, sp, _DISCARD)] = far_ptr
+            sp = sp + far_push.astype(jnp.int32)
+            stack_ref[jnp.where(near_push, sp, _DISCARD)] = near_ptr
+            sp = sp + near_push.astype(jnp.int32)
+        return sp
+
+    jax.lax.while_loop(cond, body, sp0)
 
 
 def _kernel(

@@ -25,7 +25,6 @@ from ..io import image as img_io
 from ..render import accumulate_rows
 
 
-@lru_cache(maxsize=64)
 def _sorted_intersect(engine: str):
     """intersect_fn for the wavefront shard body: the sorted-packet
     traversal for engine='bvh_sorted' (+'_interpret'), else the default."""
@@ -38,6 +37,7 @@ def _sorted_intersect(engine: str):
     return None
 
 
+@lru_cache(maxsize=64)
 def _make_sharded_renderer(
     width, height, mesh, spp, max_depth, seed, semantics, inclusive_uv,
     spectral, engine,

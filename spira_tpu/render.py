@@ -282,10 +282,10 @@ def render_flat_engine(
             max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
         )
     if engine == "pallas_bvh_mxu":
-        from .accel.mxu import attach_superleaf
+        from .accel.mxu import SuperleafBVH, attach_superleaf
         from .kernels.bvh_megakernel import render_flat_bvh_megakernel
 
-        if scene.wide is None or not hasattr(scene.wide, "pairs"):
+        if not isinstance(scene.wide, SuperleafBVH):
             # host-side packing; attach once outside render loops
             scene = attach_superleaf(scene)
         return render_flat_bvh_megakernel(
@@ -293,17 +293,25 @@ def render_flat_engine(
             max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
             mxu_leaf=True,
         )
-    if engine == "bvh_sorted":
+    if engine in ("bvh_sorted", "bvh_sorted_interpret"):
+        if semantics != "physical":
+            raise ValueError(
+                "bvh_sorted renders physical semantics only; use "
+                "'wavefront' (or 'auto') for reference semantics"
+            )
         return render_flat_bvh_sorted(
             scene, camera, width=width, height=height, spp=spp,
             max_depth=max_depth, seed=seed, inclusive_uv=inclusive_uv,
+            spectral=spectral, interpret=engine.endswith("interpret"),
         )
     if engine == "pallas_mxu":
-        from .accel.mxu import attach_mxu
+        from .accel.mxu import MXUBVH, attach_mxu
         from .kernels.mxu_megakernel import render_flat_mxu_megakernel
 
-        if scene.wide is None or not hasattr(scene.wide, "coeff_uv"):
-            # host-side packing; attach once outside render loops
+        if not isinstance(scene.wide, MXUBVH):
+            # host-side packing; attach once outside render loops.
+            # isinstance, not hasattr: SuperleafBVH (the pallas_bvh_mxu
+            # packing) also carries coeff blocks but not MXUBVH's node table
             scene = attach_mxu(scene)
         return render_flat_mxu_megakernel(
             scene, camera, width=width, height=height, spp=spp,

@@ -77,10 +77,13 @@ def add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--preset", default=None, choices=sorted(PRESETS),
                    help="quality tier setting width/height/spp/max-depth "
                         "(explicit flags still override)")
-    p.add_argument("--width", type=int, default=640)
-    p.add_argument("--height", type=int, default=360)
-    p.add_argument("--spp", type=int, default=32)
-    p.add_argument("--max-depth", type=int, default=4)
+    # None sentinels so config_from_args can tell "user typed it" (wins
+    # over a preset, in any spelling: --width 800, --width=800, --wid 800)
+    # from "defaulted" — membership tests on sys.argv get '=' forms wrong
+    p.add_argument("--width", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--spp", type=int, default=None)
+    p.add_argument("--max-depth", type=int, default=None)
     p.add_argument("--semantics", default="physical",
                    choices=["physical", "reference"])
     p.add_argument("--spectral", action="store_true")
@@ -110,14 +113,15 @@ def add_render_args(p: argparse.ArgumentParser) -> None:
 
 
 def config_from_args(args: argparse.Namespace) -> RenderConfig:
+    # fill the film fields the user left unset: preset values if --preset,
+    # else the demo defaults (a typed flag always wins — argparse leaves
+    # it non-None regardless of spelling or argv source)
+    film = dict(PRESETS["demo"])
     if getattr(args, "preset", None):
-        # a flag the user typed explicitly wins over the preset
-        import sys
-
-        argv = sys.argv[1:]
-        for field, value in PRESETS[args.preset].items():
-            if f"--{field.replace('_', '-')}" not in argv:
-                setattr(args, field, value)
+        film.update(PRESETS[args.preset])
+    for field, value in film.items():
+        if getattr(args, field, None) is None:
+            setattr(args, field, value)
     return RenderConfig(
         scene=args.scene,
         lookfrom=tuple(args.lookfrom),
@@ -170,12 +174,16 @@ def build_scene(cfg: RenderConfig):
         scene = create_mesh_scene(obj_path=cfg.scene)
     else:
         raise ValueError(f"unknown scene {cfg.scene!r}")
+    # every engine that feeds the packet traversal needs the pair tables;
+    # spectral counts too (auto spectral mesh → pallas_spectral_bvh).  The
+    # sharded/progressive drivers (n_tile / checkpoint) ignore --engine and
+    # stay on the wavefront family, so they skip the packing.
     wants_packet_kernel = (
-        cfg.engine in ("auto", "pallas_bvh")
+        cfg.engine in ("auto", "pallas_bvh", "pallas_spectral_bvh",
+                       "bvh_sorted")
         and cfg.n_tile is None
         and not cfg.checkpoint_dir
         and cfg.checkpoint_every <= 0
-        and not cfg.spectral
         and cfg.semantics == "physical"
     )
     if wants_packet_kernel and scene.bvh is not None and scene.packed is None:

@@ -75,3 +75,24 @@ def test_sorted_wavefront_spectral_matches_spectral_wavefront():
     wf = np.asarray(render_flat(scene, cam, spectral=True, **kw))
     assert np.isfinite(srt).all() and srt.std() > 1e-3
     np.testing.assert_allclose(srt, wf, rtol=1e-3, atol=1e-4)
+
+
+def test_engine_dispatch_passes_spectral_to_bvh_sorted():
+    """render_flat_engine(engine='bvh_sorted', spectral=True) must render
+    spectrally (regression: the dispatch branch silently dropped the
+    spectral flag and returned an RGB-transport image)."""
+    from spira_tpu.render import render_flat_engine
+
+    scene = attach_packed(create_mesh_scene(subdivisions=1))
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=4.0)
+    kw = dict(width=64, height=16, spp=2, max_depth=2, seed=9)
+    via_engine = np.asarray(render_flat_engine(
+        scene, cam, engine="bvh_sorted_interpret", spectral=True, **kw))
+    direct = np.asarray(render_flat_bvh_sorted(
+        scene, cam, interpret=True, spectral=True, **kw))
+    np.testing.assert_array_equal(via_engine, direct)
+    # and reference semantics is a loud error, not a silent downgrade
+    with pytest.raises(ValueError, match="physical"):
+        render_flat_engine(scene, cam, engine="bvh_sorted_interpret",
+                           semantics="reference", **kw)

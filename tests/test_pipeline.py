@@ -226,3 +226,33 @@ def test_cli_presets_map_to_reference_tiers():
     cfg = config_from_args(p.parse_args(["--preset", "quick"]))
     assert (cfg.width, cfg.height, cfg.spp) == (320, 180, 4)
     assert set(PRESETS) == {"quick", "demo", "quality"}
+    # a typed flag beats the preset in ANY spelling: --width=, abbreviation,
+    # programmatic argv (regression: sys.argv membership tests missed these)
+    cfg = config_from_args(p.parse_args(["--preset", "demo", "--width=800"]))
+    assert (cfg.width, cfg.height) == (800, 360)
+    cfg = config_from_args(p.parse_args(["--preset", "quick", "--wid", "99"]))
+    assert (cfg.width, cfg.height) == (99, 180)
+    # no preset, no flags -> demo defaults
+    cfg = config_from_args(p.parse_args([]))
+    assert (cfg.width, cfg.height, cfg.spp, cfg.max_depth) == (640, 360, 32, 4)
+
+
+def test_build_scene_packs_for_every_packet_engine():
+    """Every engine that feeds the packet traversal gets pair tables at
+    build time (regression: bvh_sorted / pallas_spectral_bvh / auto-spectral
+    mesh scenes previously arrived unpacked and raised at render time)."""
+    from spira_tpu.utils.config import RenderConfig, build_scene
+
+    for engine, spectral in [
+        ("bvh_sorted", False),
+        ("pallas_spectral_bvh", True),
+        ("auto", True),  # auto spectral mesh -> pallas_spectral_bvh on TPU
+        ("pallas_bvh", False),
+    ]:
+        scene, _ = build_scene(
+            RenderConfig(scene="mesh", engine=engine, spectral=spectral)
+        )
+        assert scene.packed is not None, engine
+    # wavefront-family drivers skip the (unused) tables
+    scene, _ = build_scene(RenderConfig(scene="mesh", engine="wavefront"))
+    assert scene.packed is None
