@@ -20,7 +20,7 @@ import numpy as np
 
 from .core import rng as srng
 from .io import image as img_io
-from .render import accumulate_rows
+from .render import accumulate_row_set, accumulate_rows
 from .utils import checkpoint as ckpt
 from .utils.config import RenderConfig, build_scene
 from .utils.metrics import RenderMeter, logger
@@ -138,6 +138,110 @@ def render_progressive(scene, camera, cfg: RenderConfig, mesh=None) -> np.ndarra
     return np.asarray(img_io.assemble_image(flat, cfg.width, cfg.height))
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+def render_adaptive(
+    scene,
+    camera,
+    cfg: RenderConfig,
+    *,
+    tol: float = 0.02,
+    min_spp: int = 8,
+    chunk: int = 8,
+    quantile: float = 0.98,
+    return_stats: bool = False,
+):
+    """Variance-guided progressive render: rows stop sampling once their
+    pixels' luminance confidence intervals converge (new-build; the
+    reference samples every pixel uniformly).
+
+    TPU-shaped adaptivity: instead of per-pixel masking (which saves
+    nothing on a vector machine — masked lanes still run), each round
+    dispatches ONE dense kernel over only the rows whose error is still
+    above ``tol``, via :func:`spira_tpu.render.accumulate_row_set`.  Row
+    counts are padded to the next power of two so the whole render
+    compiles at most ``log2(height) x 2`` programs, all cached.
+
+    Convergence: a row retires when the ``quantile`` of its pixels'
+    relative half-CI95 of mean luminance drops to ``tol`` (the quantile,
+    not the max, so one firefly pixel cannot pin a row forever).
+    ``cfg.spp`` is the per-row sample budget CAP; ``min_spp`` the floor
+    before any row may retire.  The estimate stays a valid MC average
+    (per-pixel sums / per-row counts); the stopping rule introduces the
+    usual, bounded optional-stopping bias — that is the point of adaptive
+    sampling, and ``tol`` bounds it.
+
+    Returns the (H, W, 3) HDR image; with ``return_stats=True`` also a
+    dict with total/uniform sample counts and the per-row spp map.
+    """
+    W, H = cfg.width, cfg.height
+    max_spp = cfg.spp
+    min_spp = min(min_spp, max_spp)
+    base = srng.base_key(cfg.seed)
+
+    acc = np.zeros((H, W, 3), np.float32)
+    lum = np.zeros((H, W), np.float64)
+    lum2 = np.zeros((H, W), np.float64)
+    counts = np.zeros((H,), np.int64)
+
+    meter = RenderMeter(W, H, max_spp, cfg.max_depth, enabled=cfg.progress)
+
+    active = np.arange(H, dtype=np.int32)
+    spp_done = 0  # rows retire together, so actives share one count
+    sample_base = 0
+    while active.size and spp_done < max_spp:
+        take = int(min(chunk, max_spp - spp_done))
+        r = active.size
+        r_pad = _next_pow2(r)
+        rows = np.concatenate(
+            [active, np.full(r_pad - r, int(active[0]), np.int32)]
+        )
+        a, l, l2 = accumulate_row_set(
+            scene,
+            camera,
+            base,
+            jnp.asarray(rows),
+            jnp.int32(sample_base),
+            width=W,
+            height=H,
+            n_samples=take,
+            max_depth=cfg.max_depth,
+            semantics=cfg.semantics,
+            spectral=cfg.spectral,
+        )
+        acc[active] += np.asarray(a).reshape(r_pad, W, 3)[:r]
+        lum[active] += np.asarray(l).reshape(r_pad, W)[:r]
+        lum2[active] += np.asarray(l2).reshape(r_pad, W)[:r]
+        counts[active] += take
+        spp_done += take
+        sample_base += take
+        meter.update(int(counts.sum() / H))
+
+        if spp_done >= min_spp and spp_done > 1:
+            n = float(spp_done)
+            mean = lum[active] / n
+            var = np.maximum(lum2[active] / n - mean * mean, 0.0)
+            var *= n / (n - 1.0)
+            rel_ci = 1.96 * np.sqrt(var / n) / (np.abs(mean) + 1e-3)
+            row_err = np.quantile(rel_ci, quantile, axis=1)
+            active = active[row_err > tol]
+
+    img = acc / counts[:, None, None].astype(np.float32)
+    img = img[::-1]  # bottom-up rows -> top-down image (assemble_image flip)
+    if not return_stats:
+        return img
+    stats = {
+        "total_samples": int(counts.sum()) * W,
+        "uniform_samples": H * W * max_spp,
+        "savings": 1.0 - counts.sum() / float(H * max_spp),
+        "spp_per_row": counts[::-1].copy(),  # top-down, like the image
+        "tol": tol,
+    }
+    return img, stats
+
+
 def run_config(cfg: RenderConfig) -> np.ndarray:
     """Build the scene, render (sharded if configured), tone map, save."""
     scene, camera = build_scene(cfg)
@@ -159,13 +263,29 @@ def run_config(cfg: RenderConfig) -> np.ndarray:
 
     if cfg.engine != "auto" and (
         cfg.n_tile is not None or cfg.checkpoint_dir or cfg.checkpoint_every > 0
+        or cfg.adaptive_tol is not None
     ):
         logger.warning(
-            "--engine %s is ignored by the sharded/progressive drivers "
-            "(wavefront family only — they need sample offsets for resume)",
+            "--engine %s is ignored by the sharded/progressive/adaptive "
+            "drivers (wavefront family only — they need sample offsets)",
             cfg.engine,
         )
-    if cfg.n_tile is not None:
+    if cfg.adaptive_tol is not None:
+        if cfg.n_tile is not None or cfg.checkpoint_dir or cfg.checkpoint_every > 0:
+            raise ValueError(
+                "--adaptive-tol is a single-device driver; it composes with "
+                "neither --n-tile nor checkpointing"
+            )
+        hdr, stats = render_adaptive(
+            scene, camera, cfg, tol=cfg.adaptive_tol,
+            min_spp=cfg.adaptive_min_spp, return_stats=True,
+        )
+        logger.info(
+            "adaptive: %.0f%% of uniform %d spp (%d samples saved)",
+            100.0 * (1.0 - stats["savings"]), cfg.spp,
+            stats["uniform_samples"] - stats["total_samples"],
+        )
+    elif cfg.n_tile is not None:
         from .parallel.mesh import make_mesh, replicate
         from .parallel.sharded import render_flat_sharded
 

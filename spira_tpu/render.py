@@ -199,6 +199,75 @@ def accumulate_rows(
     return acc
 
 
+#: Rec.709 luma weights — the adaptive sampler's convergence statistic.
+_LUMA = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "n_samples", "max_depth", "semantics",
+        "inclusive_uv", "spectral",
+    ),
+)
+def accumulate_row_set(
+    scene,
+    camera,
+    base_key,
+    rows,
+    sample_base,
+    *,
+    width: int,
+    height: int,
+    n_samples: int,
+    max_depth: int,
+    semantics: str = "physical",
+    inclusive_uv: bool = True,
+    spectral: bool = False,
+):
+    """Sum ``n_samples`` radiance estimates for an arbitrary row SET.
+
+    The adaptive sampler's dispatch unit: ``rows`` is an (R,) int32 array
+    (traced; R static) of image rows that have not converged yet, and
+    ``sample_base`` a monotone global sample counter — keys are
+    ``sample_key(base, sample_base + k)``, fresh every round, shared by all
+    rows of the round (rays decorrelate by array position inside the draw,
+    exactly like tiles of one dispatch elsewhere).
+
+    Returns ``(acc (R*W, 3), lum (R*W,), lum2 (R*W,))`` — radiance sum plus
+    the luminance power sums the convergence test needs (Welford via
+    sum/sum-of-squares; fp32 is plenty for spp <= a few thousand).
+    """
+
+    @jax.checkpoint
+    def sample_step(carry, k):
+        acc, lum, lum2 = carry
+        skey = srng.sample_key(base_key, sample_base + k)
+        origins, dirs = generate_rays(
+            camera, width, height, skey, inclusive_uv=inclusive_uv,
+            rows=rows,
+        )
+        if spectral:
+            radiance = trace_spectral(
+                scene, origins, dirs, skey, max_depth=max_depth
+            )
+        else:
+            radiance = trace(
+                scene, origins, dirs, skey, max_depth=max_depth,
+                semantics=semantics,
+            )
+        y = radiance @ _LUMA
+        return (acc + radiance, lum + y, lum2 + y * y), None
+
+    n = int(rows.shape[0]) * width
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    zero1 = jnp.zeros((n,), jnp.float32)
+    (acc, lum, lum2), _ = jax.lax.scan(
+        sample_step, (zero3, zero1, zero1), jnp.arange(n_samples)
+    )
+    return acc, lum, lum2
+
+
 def select_engine(
     scene, semantics: str, spectral: bool, engine: str = "auto", camera=None
 ):

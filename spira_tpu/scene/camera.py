@@ -95,7 +95,7 @@ def default_camera(aspect_ratio) -> Camera:
 
 def generate_rays(camera: Camera, width: int, height: int, key, *,
                   inclusive_uv: bool = True, row_start: int = 0,
-                  n_rows: int | None = None):
+                  n_rows: int | None = None, rows=None):
     """Jittered primary rays for a row-range of pixels, flattened to a
     (n_rows*W,) wavefront.
 
@@ -109,7 +109,22 @@ def generate_rays(camera: Camera, width: int, height: int, key, *,
     ``inclusive_uv=True`` divides by (dim-1) exactly like the CPU reference
     (`/root/reference/src/spira-metal-optimized.jl:1428-1429`); the MSL kernel
     divides by dim (`/root/reference/src/spira_path_trace_kernel.metal:160`).
+
+    ``rows`` (an (R,) int32 array, may be traced) selects an arbitrary row
+    SET instead of a contiguous range — the adaptive sampler dispatches only
+    its unconverged rows this way.  Ray ``r = i * W + col`` covers
+    ``rows[i]``; the caller owns key freshness across dispatches.
     """
+    if rows is not None:
+        n_rows = int(rows.shape[0])
+        n = width * n_rows
+        jit_key = srng.bounce_key(key, 0, srng.Stream.PIXEL_JITTER)
+        jitter = srng.uniform(jit_key, (n, 2))
+        idx = jnp.arange(n, dtype=jnp.int32)
+        col = (idx % width).astype(jnp.float32)
+        row = rows[idx // width].astype(jnp.float32)
+        return _rays_from_uv(camera, width, height, key, jitter, col, row,
+                             inclusive_uv, n)
     if n_rows is None:
         n_rows = height
     n = width * n_rows
@@ -119,6 +134,12 @@ def generate_rays(camera: Camera, width: int, height: int, key, *,
     idx = jnp.arange(n, dtype=jnp.int32)
     col = (idx % width).astype(jnp.float32)
     row = (idx // width + row_start).astype(jnp.float32)
+    return _rays_from_uv(camera, width, height, key, jitter, col, row,
+                         inclusive_uv, n)
+
+
+def _rays_from_uv(camera, width, height, key, jitter, col, row,
+                  inclusive_uv, n):
 
     du = jnp.float32(width - 1 if inclusive_uv else width)
     dv = jnp.float32(height - 1 if inclusive_uv else height)

@@ -41,6 +41,10 @@ class RenderConfig:
     # execution
     n_tile: Optional[int] = None  # None = single device
     n_spp_axis: int = 1
+    # adaptive sampling: rows stop once their pixels' relative luminance
+    # half-CI95 falls below this (None = uniform spp everywhere)
+    adaptive_tol: Optional[float] = None
+    adaptive_min_spp: int = 8
     # io
     output: str = "render.png"
     checkpoint_dir: Optional[str] = None
@@ -106,6 +110,10 @@ def add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--n-tile", type=int, default=None,
                    help="tile-axis device count (default: single device)")
     p.add_argument("--n-spp-axis", type=int, default=1)
+    p.add_argument("--adaptive-tol", type=float, default=None,
+                   help="adaptive sampling: stop rows whose pixels' relative"
+                        " luminance CI95 falls below this (--spp = cap)")
+    p.add_argument("--adaptive-min-spp", type=int, default=8)
     p.add_argument("-o", "--output", default="render.png")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
@@ -141,6 +149,8 @@ def config_from_args(args: argparse.Namespace) -> RenderConfig:
         tonemap=args.tonemap,
         n_tile=args.n_tile,
         n_spp_axis=args.n_spp_axis,
+        adaptive_tol=args.adaptive_tol,
+        adaptive_min_spp=args.adaptive_min_spp,
         output=args.output,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,

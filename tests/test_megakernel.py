@@ -223,6 +223,27 @@ def test_engine_dispatch():
     assert select_engine(sphere_scene, "physical", False, "pallas") == "pallas"
 
 
+def test_engine_dispatch_tpu_branch(monkeypatch):
+    """The TPU-only auto choices, pinned via a backend monkeypatch: packed
+    mesh scenes take the packet kernel, spectral ones the spectral packet
+    kernel (not the wavefront fallback)."""
+    import importlib
+
+    # import_module, not `import spira_tpu.render as ...`: the package's
+    # render() API function shadows the submodule under `import ... as`
+    render_mod = importlib.import_module("spira_tpu.render")
+    from spira_tpu.accel.pairs import attach_packed
+    from spira_tpu.render import select_engine
+
+    monkeypatch.setattr(render_mod.jax, "default_backend", lambda: "tpu")
+    packed = attach_packed(st.create_mesh_scene(subdivisions=1))
+    assert select_engine(packed, "physical", False) == "pallas_bvh"
+    assert select_engine(packed, "physical", True) == "pallas_spectral_bvh"
+    assert select_engine(packed, "reference", False) == "wavefront"
+    sphere_scene = st.create_scene()
+    assert select_engine(sphere_scene, "physical", False) == "pallas"
+
+
 @pytest.mark.slow
 def test_render_api_engine_fused_matches_wavefront_statistically():
     scene = st.create_scene()
