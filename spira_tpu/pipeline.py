@@ -152,6 +152,7 @@ def render_adaptive(
     chunk: int = 8,
     quantile: float = 0.98,
     return_stats: bool = False,
+    intersect_fn="auto",
 ):
     """Variance-guided progressive render: rows stop sampling once their
     pixels' luminance confidence intervals converge (new-build; the
@@ -180,6 +181,17 @@ def render_adaptive(
     max_spp = cfg.spp
     min_spp = min(min_spp, max_spp)
     base = srng.base_key(cfg.seed)
+
+    if intersect_fn == "auto":
+        # packed mesh scenes on TPU route every bounce's nearest-hit through
+        # the sorted-packet Pallas traversal (same hook the bvh_sorted
+        # engine uses); everywhere else the default intersect serves
+        if scene.packed is not None and jax.default_backend() == "tpu":
+            from .kernels.bvh_megakernel import make_sorted_tile_intersect
+
+            intersect_fn = make_sorted_tile_intersect()
+        else:
+            intersect_fn = None
 
     acc = np.zeros((H, W, 3), np.float32)
     lum = np.zeros((H, W), np.float64)
@@ -210,6 +222,7 @@ def render_adaptive(
             max_depth=cfg.max_depth,
             semantics=cfg.semantics,
             spectral=cfg.spectral,
+            intersect_fn=intersect_fn,
         )
         acc[active] += np.asarray(a).reshape(r_pad, W, 3)[:r]
         lum[active] += np.asarray(l).reshape(r_pad, W)[:r]

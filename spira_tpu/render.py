@@ -207,7 +207,7 @@ _LUMA = jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
     jax.jit,
     static_argnames=(
         "width", "height", "n_samples", "max_depth", "semantics",
-        "inclusive_uv", "spectral",
+        "inclusive_uv", "spectral", "intersect_fn",
     ),
 )
 def accumulate_row_set(
@@ -224,6 +224,7 @@ def accumulate_row_set(
     semantics: str = "physical",
     inclusive_uv: bool = True,
     spectral: bool = False,
+    intersect_fn=None,
 ):
     """Sum ``n_samples`` radiance estimates for an arbitrary row SET.
 
@@ -249,12 +250,13 @@ def accumulate_row_set(
         )
         if spectral:
             radiance = trace_spectral(
-                scene, origins, dirs, skey, max_depth=max_depth
+                scene, origins, dirs, skey, max_depth=max_depth,
+                intersect_fn=intersect_fn,
             )
         else:
             radiance = trace(
                 scene, origins, dirs, skey, max_depth=max_depth,
-                semantics=semantics,
+                semantics=semantics, intersect_fn=intersect_fn,
             )
         y = radiance @ _LUMA
         return (acc + radiance, lum + y, lum2 + y * y), None
