@@ -235,6 +235,39 @@ def tier_meshgrad():
                     engine="hybrid_mesh", ok=False, error=repr(e))
 
 
+def tier_adaptive():
+    """Adaptive vs uniform wall time at the mesh flagship config: the win
+    is real when frames are expensive (per-round dispatch+sync overhead is
+    fixed, ~tens of ms through the tunnel, so cheap sphere frames lose)."""
+    import time as _t
+
+    from spira_tpu.pipeline import render_adaptive
+    from spira_tpu.render import render_flat_bvh_sorted
+    from spira_tpu.utils.config import RenderConfig
+
+    scene, cam, ntris = _mesh_scene(4)
+    spp = 64
+    cfg = RenderConfig(width=W, height=H, spp=spp, max_depth=DEPTH,
+                       progress=False)
+    try:
+        # uniform baseline: one sorted-packet dispatch at the spp cap
+        dt_u, _ = _time(lambda i: render_flat_bvh_sorted(
+            scene, cam, width=W, height=H, spp=spp, max_depth=DEPTH,
+            seed=i), 2)
+        # adaptive: compile rounds once (first call), then time
+        render_adaptive(scene, cam, cfg, tol=0.05, min_spp=8)
+        t0 = _t.perf_counter()
+        _, stats = render_adaptive(scene, cam, cfg, tol=0.05, min_spp=8,
+                                   return_stats=True)
+        dt_a = _t.perf_counter() - t0
+        _record(tier="adaptive", scene="mesh5440", tris=ntris, spp_cap=spp,
+                tol=0.05, uniform_s=round(dt_u, 3), adaptive_s=round(dt_a, 3),
+                speedup=round(dt_u / dt_a, 2),
+                samples_saved_pct=round(100 * stats["savings"], 1))
+    except Exception as e:
+        _record(tier="adaptive", scene="mesh5440", ok=False, error=repr(e))
+
+
 def tier_spectral():
     from spira_tpu.kernels.spectral_bvh import (
         render_flat_spectral_bvh_megakernel,
@@ -285,13 +318,14 @@ def tier_spectral():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tier", default="all",
-                    choices=["smoke", "mesh", "meshgrad", "spectral", "all"])
+                    choices=["smoke", "mesh", "meshgrad", "spectral",
+                             "adaptive", "all"])
     args = ap.parse_args()
-    tiers = (["smoke", "mesh", "spectral", "meshgrad"] if args.tier == "all"
-             else [args.tier])
+    tiers = (["smoke", "mesh", "spectral", "meshgrad", "adaptive"]
+             if args.tier == "all" else [args.tier])
     for t in tiers:
         {"smoke": tier_smoke, "mesh": tier_mesh, "meshgrad": tier_meshgrad,
-         "spectral": tier_spectral}[t]()
+         "spectral": tier_spectral, "adaptive": tier_adaptive}[t]()
 
 
 if __name__ == "__main__":

@@ -41,6 +41,8 @@ STEPS = [
                   "--tier", "spectral"], 2400),
     ("meshgrad", [sys.executable, "benchmarks/round3_timings.py",
                   "--tier", "meshgrad"], 2400),
+    ("adaptive", [sys.executable, "benchmarks/round3_timings.py",
+                  "--tier", "adaptive"], 2400),
     ("sweep", [sys.executable, "benchmarks/mesh_sweep.py", "--quick"], 1800),
     ("config5", [sys.executable, "benchmarks/config5.py", "--mode", "tpu",
                  "--out", os.path.join(ROOT, "SCALING_r03.json")], 3600),
