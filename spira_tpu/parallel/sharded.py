@@ -233,3 +233,70 @@ def render_hdr_sharded(scene, camera, width, height, mesh, **kw):
         scene, camera, width=width, height=height, mesh=mesh, **kw
     )
     return img_io.assemble_image(flat, width, height)
+
+
+@lru_cache(maxsize=64)
+def _make_row_set_renderer(
+    width, height, mesh, n_samples, max_depth, semantics, spectral,
+    intersect_fn,
+):
+    """Sharded analogue of `render.accumulate_row_set`: the adaptive
+    sampler's per-round dispatch with its (r_pad,) row set split over the
+    ``tile`` axis and samples over ``spp`` (one psum per power sum).  The
+    tile index is folded into the key so shards draw decorrelated
+    randomness (same convention as the accumulate_rows shard body)."""
+    from ..render import accumulate_row_set
+
+    n_spp = mesh.shape.get("spp", 1)
+    if n_samples % n_spp:
+        raise ValueError(
+            f"round size {n_samples} not divisible by spp axis {n_spp}"
+        )
+    per_spp = n_samples // n_spp
+
+    def shard_body(scene, camera, rows, base_key, sample_base):
+        t = jax.lax.axis_index("tile")
+        s = jax.lax.axis_index("spp")
+        key = jax.random.fold_in(base_key, t)
+        acc, lum, lum2 = accumulate_row_set(
+            scene, camera, key, rows, sample_base + s * per_spp,
+            width=width, height=height, n_samples=per_spp,
+            max_depth=max_depth, semantics=semantics, spectral=spectral,
+            intersect_fn=intersect_fn,
+        )
+        return (
+            jax.lax.psum(acc, "spp"),
+            jax.lax.psum(lum, "spp"),
+            jax.lax.psum(lum2, "spp"),
+        )
+
+    return jax.jit(
+        shard_map(
+            shard_body, mesh=mesh,
+            in_specs=(P(), P(), P("tile"), P(), P()),
+            out_specs=(P("tile"), P("tile"), P("tile")),
+            check_vma=False,
+        )
+    )
+
+
+def accumulate_row_set_sharded(
+    scene, camera, base_key, rows, sample_base, *, width, height, n_samples,
+    max_depth, mesh, semantics="physical", spectral=False, intersect_fn=None,
+):
+    """Sum ``n_samples`` estimates for a row SET over a device mesh.
+
+    ``rows`` length must divide by the tile axis; returns the same
+    ``(acc, lum, lum2)`` triple as the single-device accumulate_row_set
+    (tile-sharded on the row axis).
+    """
+    if rows.shape[0] % mesh.shape["tile"]:
+        raise ValueError(
+            f"row set {rows.shape[0]} not divisible by tile axis "
+            f"{mesh.shape['tile']}"
+        )
+    fn = _make_row_set_renderer(
+        width, height, mesh, n_samples, max_depth, semantics, spectral,
+        intersect_fn,
+    )
+    return fn(scene, camera, rows, base_key, jnp.int32(sample_base))

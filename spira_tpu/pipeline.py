@@ -153,6 +153,7 @@ def render_adaptive(
     quantile: float = 0.98,
     return_stats: bool = False,
     intersect_fn="auto",
+    mesh=None,
 ):
     """Variance-guided progressive render: rows stop sampling once their
     pixels' luminance confidence intervals converge (new-build; the
@@ -173,6 +174,11 @@ def render_adaptive(
     (per-pixel sums / per-row counts); the stopping rule introduces the
     usual, bounded optional-stopping bias — that is the point of adaptive
     sampling, and ``tol`` bounds it.
+
+    ``mesh`` (a tile[/spp] `jax.sharding.Mesh`) shards each round's row
+    set over the tile axis and its samples over spp — adaptivity at pod
+    scale, with the convergence ledger on the host as before.  ``chunk``
+    must divide by the spp-axis size.
 
     Returns the (H, W, 3) HDR image; with ``return_stats=True`` also a
     dict with total/uniform sample counts and the per-row spp map.
@@ -200,30 +206,50 @@ def render_adaptive(
 
     meter = RenderMeter(W, H, max_spp, cfg.max_depth, enabled=cfg.progress)
 
+    n_tile = mesh.shape["tile"] if mesh is not None else 1
+    n_spp_axis = mesh.shape.get("spp", 1) if mesh is not None else 1
+    if chunk % n_spp_axis or min_spp % n_spp_axis or max_spp % n_spp_axis:
+        raise ValueError(
+            f"chunk/min_spp/spp must divide by the spp axis {n_spp_axis}"
+        )
+
     active = np.arange(H, dtype=np.int32)
     spp_done = 0  # rows retire together, so actives share one count
     sample_base = 0
     while active.size and spp_done < max_spp:
         take = int(min(chunk, max_spp - spp_done))
         r = active.size
-        r_pad = _next_pow2(r)
+        # pad to n_tile * pow2 so each device takes an equal contiguous
+        # slice and the whole render compiles O(log2 H) programs
+        r_pad = n_tile * _next_pow2(-(-r // n_tile))
         rows = np.concatenate(
             [active, np.full(r_pad - r, int(active[0]), np.int32)]
         )
-        a, l, l2 = accumulate_row_set(
-            scene,
-            camera,
-            base,
-            jnp.asarray(rows),
-            jnp.int32(sample_base),
-            width=W,
-            height=H,
-            n_samples=take,
-            max_depth=cfg.max_depth,
-            semantics=cfg.semantics,
-            spectral=cfg.spectral,
-            intersect_fn=intersect_fn,
-        )
+        if mesh is not None:
+            from .parallel.sharded import accumulate_row_set_sharded
+
+            a, l, l2 = accumulate_row_set_sharded(
+                scene, camera, base, jnp.asarray(rows),
+                jnp.int32(sample_base), width=W, height=H, n_samples=take,
+                max_depth=cfg.max_depth, mesh=mesh,
+                semantics=cfg.semantics, spectral=cfg.spectral,
+                intersect_fn=intersect_fn,
+            )
+        else:
+            a, l, l2 = accumulate_row_set(
+                scene,
+                camera,
+                base,
+                jnp.asarray(rows),
+                jnp.int32(sample_base),
+                width=W,
+                height=H,
+                n_samples=take,
+                max_depth=cfg.max_depth,
+                semantics=cfg.semantics,
+                spectral=cfg.spectral,
+                intersect_fn=intersect_fn,
+            )
         acc[active] += np.asarray(a).reshape(r_pad, W, 3)[:r]
         lum[active] += np.asarray(l).reshape(r_pad, W)[:r]
         lum2[active] += np.asarray(l2).reshape(r_pad, W)[:r]
