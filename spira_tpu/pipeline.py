@@ -216,6 +216,28 @@ def render_adaptive(
     active = np.arange(H, dtype=np.int32)
     spp_done = 0  # rows retire together, so actives share one count
     sample_base = 0
+
+    # the stopping hyperparameters live in the manifest next to the config:
+    # a resumed run must make the same retirement decisions
+    hyper = dict(tol=tol, min_spp=min_spp, chunk=chunk, quantile=quantile)
+    if cfg.checkpoint_dir:
+        state = ckpt.load_adaptive_state(cfg.checkpoint_dir)
+        if state is not None:
+            arrays, scalars, saved_cfg = state
+            if (saved_cfg == cfg.to_json()
+                    and {k: scalars.get(k) for k in hyper} == hyper):
+                acc, lum, lum2 = arrays["acc"], arrays["lum"], arrays["lum2"]
+                counts, active = arrays["counts"], arrays["active"]
+                spp_done = scalars["spp_done"]
+                sample_base = scalars["sample_base"]
+                logger.info(
+                    "resumed adaptive at %d active rows, %d spp",
+                    active.size, spp_done,
+                )
+            else:
+                logger.warning("checkpoint config mismatch — starting fresh")
+    meter.samples_done = int(counts.sum() / H)
+
     while active.size and spp_done < max_spp:
         take = int(min(chunk, max_spp - spp_done))
         r = active.size
@@ -267,6 +289,16 @@ def render_adaptive(
             row_err = np.quantile(rel_ci, quantile, axis=1)
             active = active[row_err > tol]
 
+        if cfg.checkpoint_dir and active.size and spp_done < max_spp:
+            ckpt.save_adaptive_state(
+                cfg.checkpoint_dir,
+                arrays=dict(acc=acc, lum=lum, lum2=lum2, counts=counts,
+                            active=active),
+                scalars=dict(spp_done=int(spp_done),
+                             sample_base=int(sample_base), **hyper),
+                config_json=cfg.to_json(),
+            )
+
     img = acc / counts[:, None, None].astype(np.float32)
     img = img[::-1]  # bottom-up rows -> top-down image (assemble_image flip)
     if not return_stats:
@@ -310,14 +342,16 @@ def run_config(cfg: RenderConfig) -> np.ndarray:
             cfg.engine,
         )
     if cfg.adaptive_tol is not None:
-        if cfg.n_tile is not None or cfg.checkpoint_dir or cfg.checkpoint_every > 0:
-            raise ValueError(
-                "--adaptive-tol is a single-device driver; it composes with "
-                "neither --n-tile nor checkpointing"
-            )
+        mesh = None
+        if cfg.n_tile is not None:
+            from .parallel.mesh import make_mesh, replicate
+
+            mesh = make_mesh(n_tile=cfg.n_tile, n_spp=cfg.n_spp_axis)
+            scene = replicate(scene, mesh)
+            camera = replicate(camera, mesh)
         hdr, stats = render_adaptive(
             scene, camera, cfg, tol=cfg.adaptive_tol,
-            min_spp=cfg.adaptive_min_spp, return_stats=True,
+            min_spp=cfg.adaptive_min_spp, mesh=mesh, return_stats=True,
         )
         logger.info(
             "adaptive: %.0f%% of uniform %d spp (%d samples saved)",

@@ -78,6 +78,37 @@ def load_render_state(directory: str):
     )
 
 
+def save_adaptive_state(directory: str, *, arrays: dict, scalars: dict,
+                        config_json: str) -> None:
+    """Atomically persist an adaptive render round: the full convergence
+    ledger (acc/lum/lum2/counts/active) plus the loop scalars — because
+    keys derive from the monotone ``sample_base`` counter, resume is
+    bit-exact."""
+    os.makedirs(directory, exist_ok=True)
+    tmp = os.path.join(directory, ARRAYS + ".tmp.npz")
+    np.savez_compressed(tmp, **{k: np.asarray(v) for k, v in arrays.items()})
+    os.replace(tmp, os.path.join(directory, ARRAYS))
+    manifest = {"kind": "adaptive", "scalars": scalars, "config": config_json}
+    tmp = os.path.join(directory, MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(directory, MANIFEST))
+
+
+def load_adaptive_state(directory: str):
+    """Returns (arrays dict, scalars dict, config_json) or None."""
+    mpath = os.path.join(directory, MANIFEST)
+    apath = os.path.join(directory, ARRAYS)
+    if not (os.path.exists(mpath) and os.path.exists(apath)):
+        return None
+    with open(mpath) as f:
+        manifest = json.load(f)
+    if manifest.get("kind") != "adaptive":
+        return None
+    arrays = dict(np.load(apath))
+    return arrays, manifest["scalars"], manifest["config"]
+
+
 def save_train_state(
     directory: str, *, params, opt_state, step: int, extra: dict | None = None
 ) -> None:

@@ -93,10 +93,45 @@ def test_run_config_adaptive_end_to_end(tmp_path):
     from PIL import Image
 
     assert Image.open(out).size == (48, 32)
-    # composes with neither sharding nor checkpointing
-    with pytest.raises(ValueError, match="adaptive"):
-        run_config(RenderConfig(width=48, height=32, spp=4,
-                                adaptive_tol=0.1, n_tile=2, progress=False))
+    # composes with tile sharding (virtual devices in tests)
+    img = run_config(RenderConfig(width=48, height=32, spp=4, max_depth=2,
+                                  adaptive_tol=0.1, adaptive_min_spp=2,
+                                  n_tile=2, output="", progress=False))
+    assert img.shape == (32, 48, 3)
+
+
+def test_adaptive_checkpoint_resume_is_exact(tmp_path):
+    """Interrupt an adaptive render mid-flight and resume: bit-identical
+    to the uninterrupted run (counter-based keys + the full convergence
+    ledger in the checkpoint)."""
+    from spira_tpu.utils import checkpoint as ckpt
+
+    scene = st.create_scene()
+    cam = st.default_camera(64 / 32)
+    ckdir = str(tmp_path / "ck")
+    cfg = RenderConfig(width=64, height=32, spp=12, max_depth=2,
+                       checkpoint_dir=ckdir, progress=False)
+    kw = dict(tol=0.08, min_spp=4, chunk=4)
+
+    uninterrupted = render_adaptive(
+        scene, cam,
+        RenderConfig(width=64, height=32, spp=12, max_depth=2,
+                     checkpoint_dir=None, progress=False),
+        **kw)
+
+    # "interrupt": run with a budget that stops after the first round by
+    # monkeying the loop via a tiny spp cap is wrong (different retirement)
+    # — instead run the checkpointed render fully, then REPLAY from its
+    # mid-flight checkpoint and check the tail agrees.
+    full = render_adaptive(scene, cam, cfg, **kw)
+    np.testing.assert_array_equal(full, uninterrupted)
+    state = ckpt.load_adaptive_state(ckdir)
+    assert state is not None  # a mid-flight round was persisted
+    resumed = render_adaptive(scene, cam, cfg, **kw)  # resumes + finishes
+    np.testing.assert_array_equal(resumed, full)
+    # hyperparameter mismatch -> fresh start, still correct
+    fresh = render_adaptive(scene, cam, cfg, tol=0.08, min_spp=4, chunk=2)
+    assert np.isfinite(fresh).all()
 
 
 def test_adaptive_mesh_scene_with_packet_intersect():
