@@ -164,3 +164,16 @@ def test_adaptive_mesh_scene_with_packet_intersect():
         render_flat(scene, cam, width=64, height=32, spp=8, max_depth=2),
         64, 32))
     assert np.sqrt(np.mean((a - un) ** 2)) < 0.35  # MC noise at spp<=8
+
+
+def test_adaptive_spectral_runs_and_is_deterministic():
+    """Spectral transport under the adaptive driver (hero-wavelength
+    wavefront per row set)."""
+    scene = st.create_scene()
+    cam = st.default_camera(2.0)
+    cfg = RenderConfig(width=48, height=24, spp=4, max_depth=2,
+                       spectral=True, progress=False)
+    a = render_adaptive(scene, cam, cfg, tol=0.1, min_spp=2, chunk=2)
+    b = render_adaptive(scene, cam, cfg, tol=0.1, min_spp=2, chunk=2)
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(a).all() and a.std() > 1e-3
