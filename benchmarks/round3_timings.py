@@ -239,8 +239,6 @@ def tier_adaptive():
     """Adaptive vs uniform wall time at the mesh flagship config: the win
     is real when frames are expensive (per-round dispatch+sync overhead is
     fixed, ~tens of ms through the tunnel, so cheap sphere frames lose)."""
-    import time as _t
-
     from spira_tpu.pipeline import render_adaptive
     from spira_tpu.render import render_flat_bvh_sorted
     from spira_tpu.utils.config import RenderConfig
@@ -256,14 +254,16 @@ def tier_adaptive():
             seed=i), 2)
         # adaptive: compile rounds once (first call), then time
         render_adaptive(scene, cam, cfg, tol=0.05, min_spp=8)
-        t0 = _t.perf_counter()
+        t0 = time.perf_counter()
         _, stats = render_adaptive(scene, cam, cfg, tol=0.05, min_spp=8,
                                    return_stats=True)
-        dt_a = _t.perf_counter() - t0
+        dt_a = time.perf_counter() - t0
         _record(tier="adaptive", scene="mesh5440", tris=ntris, spp_cap=spp,
                 tol=0.05, uniform_s=round(dt_u, 3), adaptive_s=round(dt_a, 3),
                 speedup=round(dt_u / dt_a, 2),
-                samples_saved_pct=round(100 * stats["savings"], 1))
+                samples_saved_pct=round(100 * stats["savings"], 1),
+                dispatch_saved_pct=round(
+                    100 * stats["dispatch_savings"], 1))
     except Exception as e:
         _record(tier="adaptive", scene="mesh5440", ok=False, error=repr(e))
 

@@ -986,6 +986,7 @@ def render_flat_bvh_megakernel(
     return mk._crop_flat(r, g, b, width, height)
 
 
+@functools.lru_cache(maxsize=32)
 def make_sorted_tile_intersect(
     *,
     interpret: bool = False,
@@ -994,6 +995,9 @@ def make_sorted_tile_intersect(
     sort: bool = True,
 ):
     """Build the ``intersect_fn`` for the sorted bounce-wavefront engine.
+    Cached per config: callers hold the fn in jit static args, so a fresh
+    closure per call would force a full recompile of every program that
+    closes over it.
 
     The packet kernel's weakness is post-bounce ray divergence: scattered
     rays in one pixel tile point everywhere, so packet best_t culling

@@ -185,6 +185,8 @@ def render_adaptive(
     """
     W, H = cfg.width, cfg.height
     max_spp = cfg.spp
+    if max_spp < 1:
+        raise ValueError(f"spp must be >= 1, got {max_spp}")
     min_spp = min(min_spp, max_spp)
     base = srng.base_key(cfg.seed)
 
@@ -208,18 +210,22 @@ def render_adaptive(
 
     n_tile = mesh.shape["tile"] if mesh is not None else 1
     n_spp_axis = mesh.shape.get("spp", 1) if mesh is not None else 1
-    if chunk % n_spp_axis or min_spp % n_spp_axis or max_spp % n_spp_axis:
+    if max_spp % n_spp_axis:
         raise ValueError(
-            f"chunk/min_spp/spp must divide by the spp axis {n_spp_axis}"
+            f"spp {max_spp} must divide by the spp axis {n_spp_axis}"
         )
+    chunk = -(-chunk // n_spp_axis) * n_spp_axis  # round UP to the axis
 
     active = np.arange(H, dtype=np.int32)
     spp_done = 0  # rows retire together, so actives share one count
     sample_base = 0
 
-    # the stopping hyperparameters live in the manifest next to the config:
-    # a resumed run must make the same retirement decisions
-    hyper = dict(tol=tol, min_spp=min_spp, chunk=chunk, quantile=quantile)
+    # the stopping hyperparameters AND the mesh shape live in the manifest
+    # next to the config: a resumed run must make the same retirement
+    # decisions and draw the same streams (the sharded path folds tile ids
+    # into keys, so a different mesh breaks bit-exact resume)
+    hyper = dict(tol=tol, min_spp=min_spp, chunk=chunk, quantile=quantile,
+                 mesh=[n_tile, n_spp_axis])
     if cfg.checkpoint_dir:
         state = ckpt.load_adaptive_state(cfg.checkpoint_dir)
         if state is not None:
@@ -238,12 +244,19 @@ def render_adaptive(
                 logger.warning("checkpoint config mismatch — starting fresh")
     meter.samples_done = int(counts.sum() / H)
 
+    dispatched = 0  # row-samples actually executed, padding included
     while active.size and spp_done < max_spp:
         take = int(min(chunk, max_spp - spp_done))
         r = active.size
         # pad to n_tile * pow2 so each device takes an equal contiguous
-        # slice and the whole render compiles O(log2 H) programs
-        r_pad = n_tile * _next_pow2(-(-r // n_tile))
+        # slice and the whole render compiles O(log2 H) programs — but
+        # never past the full image height (the early all-rows rounds
+        # would otherwise pad 1080 -> 2048 and burn real work)
+        r_pad = min(
+            n_tile * _next_pow2(-(-r // n_tile)),
+            n_tile * (-(-H // n_tile)),
+        )
+        dispatched += r_pad * take
         rows = np.concatenate(
             [active, np.full(r_pad - r, int(active[0]), np.int32)]
         )
@@ -305,8 +318,12 @@ def render_adaptive(
         return img
     stats = {
         "total_samples": int(counts.sum()) * W,
+        # padding included: what the hardware really ran — compare THIS to
+        # uniform_samples for the honest win (savings counts image samples)
+        "dispatched_samples": int(dispatched) * W,
         "uniform_samples": H * W * max_spp,
         "savings": 1.0 - counts.sum() / float(H * max_spp),
+        "dispatch_savings": 1.0 - dispatched / float(H * max_spp),
         "spp_per_row": counts[::-1].copy(),  # top-down, like the image
         "tol": tol,
     }
