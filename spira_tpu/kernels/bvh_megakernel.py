@@ -279,7 +279,6 @@ def _make_mxu_leaf_visit(cuv_ref, ct_ref, cpay_ref,
             )
             tcand = jnp.where(hit, tt, INF)
             tmin = jnp.min(tcand, axis=0, keepdims=True)
-            improved = tmin < best_row
             win = tcand == jnp.broadcast_to(tmin, (SUPERLEAF, SUB))
             jsel = jnp.min(
                 jnp.where(win, iota_f, jnp.float32(1e9)),
@@ -293,8 +292,14 @@ def _make_mxu_leaf_visit(cuv_ref, ct_ref, cpay_ref,
                 preferred_element_type=jnp.float32,
             )
             t8 = lambda r: jnp.reshape(r, (8, TILE_W))
-            imp = t8(jnp.broadcast_to(improved, (1, SUB)))
-            bt_ref[sl, :] = jnp.where(imp, t8(tmin), bt_ref[sl, :])
+            # Mosaic cannot shape-cast i1 vectors ((1,SUB)->(8,128) bool
+            # reshape fails infer-vector-layout on real TPU), so reshape the
+            # f32 tmin and rebuild the improved mask against bt_ref — lane-
+            # wise identical to reshaping `tmin < best_row` since best_row
+            # is the same reshape of bt_ref[sl, :].
+            tmin8 = t8(tmin)
+            imp = tmin8 < bt_ref[sl, :]
+            bt_ref[sl, :] = jnp.where(imp, tmin8, bt_ref[sl, :])
             tnx_ref[sl, :] = jnp.where(imp, t8(pay[0:1]), tnx_ref[sl, :])
             tny_ref[sl, :] = jnp.where(imp, t8(pay[1:2]), tny_ref[sl, :])
             tnz_ref[sl, :] = jnp.where(imp, t8(pay[2:3]), tnz_ref[sl, :])
