@@ -167,9 +167,8 @@ def tier_mesh():
                 scene, cam, **kw, seed=i)),
             ("pallas_bvh_mxu", lambda i: render_flat_bvh_megakernel(
                 scene_sl, cam, **kw, seed=i, mxu_leaf=True)),
-            ("pallas_bvh_mxu_3pass", lambda i: render_flat_bvh_megakernel(
-                scene_sl, cam, **kw, seed=i, mxu_leaf=True,
-                mxu_precision="high")),
+            # note: Precision.HIGH (3 bf16 passes) is rejected by Mosaic
+            # ("Unsupported dot precision: HIGH") — only highest/default
             ("pallas_bvh_mxu_bf16", lambda i: render_flat_bvh_megakernel(
                 scene_sl, cam, **kw, seed=i, mxu_leaf=True,
                 mxu_precision="default")),

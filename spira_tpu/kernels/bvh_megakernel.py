@@ -957,9 +957,10 @@ def render_flat_bvh_megakernel(
     Fewer, fatter leaves → a shallower tree with fewer vector→scalar pops.
 
     ``mxu_precision``: MXU pass count for the Plücker contractions —
-    "highest" (6 bf16 passes, fp32-exact), "high" (3 passes), "default"
-    (1 pass, bf16-rounded inputs).  Lower tiers trade leaf-test precision
-    (u/v edge decisions, t depth ordering ~1e-3 relative) for MXU time.
+    "highest" (6 bf16 passes, fp32-exact) or "default" (1 pass,
+    bf16-rounded inputs); Mosaic rejects Precision.HIGH (3 passes).
+    The lower tier trades leaf-test precision (u/v edge decisions,
+    t depth ordering ~1e-3 relative) for MXU time.
     """
     tree = _require_tree(scene, mxu_leaf)
     if tile_h not in (8, 16, 32, 64):
