@@ -219,30 +219,31 @@ def _make_mxu_leaf_visit(cuv_ref, ct_ref, cpay_ref,
     if tile_h % 8:
         raise ValueError("MXU leaf visits need tile_h % 8 == 0")
     n_sub = tile_h // 8
-    SUB = 8 * TILE_W  # lanes per (8, 128) sub-tile
+    SUB = 8 * TILE_W   # lanes per (8, 128) sub-tile
+    LANES = tile_h * TILE_W  # lanes in the whole packet
+
+    # Mosaic (real-chip ApplyVectorLayout) aborts on two op shapes the
+    # first cut of this visit used — sliced sublane→lane reshapes
+    # ((8,128) row slices cast to (1,1024)) and the dim0×dim0 lhsT
+    # dot_general (Array::Slice check "limits 2 > dim 1").  Everything
+    # below therefore sticks to the op vocabulary the streaming engine
+    # (`mxu_megakernel._stream_blocks`) already compiles and runs on v5e:
+    # FULL-tile shape casts ((tile_h,128) ↔ (1, LANES)), lane-aligned
+    # column slices, explicit transpose + standard (M,K)×(K,N) dots.
+    ft = lambda a: jnp.reshape(a, (1, LANES))
 
     # per-ray Plücker features, computed once per intersect call
     # (loop-invariant inside the traversal while_loop)
     mx = oy * dz - oz * dy
     my = oz * dx - ox * dz
     mz = ox * dy - oy * dx
-    zrow = jnp.zeros((1, SUB), jnp.float32)
-
-    def rows(a, s):
-        return jnp.reshape(a[s * 8:(s + 1) * 8, :], (1, SUB))
-
-    fuv = [
-        jnp.concatenate(
-            [rows(mx, s), rows(my, s), rows(mz, s),
-             rows(dx, s), rows(dy, s), rows(dz, s), zrow, zrow], axis=0)
-        for s in range(n_sub)
-    ]
-    fo1 = [
-        jnp.concatenate(
-            [rows(ox, s), rows(oy, s), rows(oz, s),
-             zrow, zrow, zrow, zrow + 1.0, zrow], axis=0)
-        for s in range(n_sub)
-    ]
+    zrow = jnp.zeros((1, LANES), jnp.float32)
+    fuv_full = jnp.concatenate(
+        [ft(mx), ft(my), ft(mz), ft(dx), ft(dy), ft(dz), zrow, zrow],
+        axis=0)
+    fo1_full = jnp.concatenate(
+        [ft(ox), ft(oy), ft(oz),
+         zrow, zrow, zrow, zrow + 1.0, zrow], axis=0)
     iota_f = jax.lax.broadcasted_iota(
         jnp.int32, (SUPERLEAF, SUB), 0
     ).astype(jnp.float32)
@@ -250,16 +251,20 @@ def _make_mxu_leaf_visit(cuv_ref, ct_ref, cpay_ref,
     def visit(ptr, cnt, hitm):
         del cnt, hitm
         base = ptr * BLOCK_ROWS
-        cuv = cuv_ref[pl.ds(base, BLOCK_ROWS), :]
-        ct = ct_ref[pl.ds(base, BLOCK_ROWS), :]
+        cuv_t = jnp.transpose(cuv_ref[pl.ds(base, BLOCK_ROWS), :])
+        ct_t = jnp.transpose(ct_ref[pl.ds(base, BLOCK_ROWS), :])
         cpay = cpay_ref[pl.ds(base, BLOCK_ROWS), :]
+        best_full = ft(bt_ref[:])
+        tmins = []
+        pays = []
         for s in range(n_sub):
+            cols = slice(s * SUB, (s + 1) * SUB)  # lane-vreg aligned
             quv = jax.lax.dot_general(
-                cuv, fuv[s], _CD0, precision=precision,
+                cuv_t, fuv_full[:, cols], _CD, precision=precision,
                 preferred_element_type=jnp.float32,
             )
             t_num = jax.lax.dot_general(
-                ct, fo1[s], _CD0, precision=precision,
+                ct_t, fo1_full[:, cols], _CD, precision=precision,
                 preferred_element_type=jnp.float32,
             )
             det = quv[0:SUPERLEAF]
@@ -269,9 +274,7 @@ def _make_mxu_leaf_visit(cuv_ref, ct_ref, cpay_ref,
             uu = u_num * idet
             vv = v_num * idet
             tt = t_num * idet
-            sl = slice(s * 8, (s + 1) * 8)
-            best_row = jnp.reshape(bt_ref[sl, :], (1, SUB))
-            best_b = jnp.broadcast_to(best_row, (SUPERLEAF, SUB))
+            best_b = jnp.broadcast_to(best_full[:, cols], (SUPERLEAF, SUB))
             hit = (
                 (uu >= 0.0) & (vv >= 0.0) & (uu + vv <= 1.0)
                 & (tt > T_MIN) & (tt < best_b)
@@ -291,19 +294,22 @@ def _make_mxu_leaf_visit(cuv_ref, ct_ref, cpay_ref,
                 cpay, onehot, _CD, precision=_HI,
                 preferred_element_type=jnp.float32,
             )
-            t8 = lambda r: jnp.reshape(r, (8, TILE_W))
-            # Mosaic cannot shape-cast i1 vectors ((1,SUB)->(8,128) bool
-            # reshape fails infer-vector-layout on real TPU), so reshape the
-            # f32 tmin and rebuild the improved mask against bt_ref — lane-
-            # wise identical to reshaping `tmin < best_row` since best_row
-            # is the same reshape of bt_ref[sl, :].
-            tmin8 = t8(tmin)
-            imp = tmin8 < bt_ref[sl, :]
-            bt_ref[sl, :] = jnp.where(imp, tmin8, bt_ref[sl, :])
-            tnx_ref[sl, :] = jnp.where(imp, t8(pay[0:1]), tnx_ref[sl, :])
-            tny_ref[sl, :] = jnp.where(imp, t8(pay[1:2]), tny_ref[sl, :])
-            tnz_ref[sl, :] = jnp.where(imp, t8(pay[2:3]), tnz_ref[sl, :])
-            mid_ref[sl, :] = jnp.where(imp, t8(pay[3:4]), mid_ref[sl, :])
+            tmins.append(tmin)
+            pays.append(pay)
+        # lane-concat the per-sub-tile rows back to full-packet rows and
+        # cast once per payload channel ((1,LANES)->(tile_h,128), the
+        # full-tile shape-cast the streaming engine exercises)
+        tile = lambda r: jnp.reshape(r, (tile_h, TILE_W))
+        tmin_t = tile(jnp.concatenate(tmins, axis=1))
+        # float tmin comparison instead of reshaping the i1 hit mask:
+        # Mosaic cannot shape-cast i1 vectors (infer-vector-layout abort)
+        imp = tmin_t < bt_ref[:]
+        pay_full = jnp.concatenate(pays, axis=1)  # (8, LANES)
+        bt_ref[:] = jnp.where(imp, tmin_t, bt_ref[:])
+        tnx_ref[:] = jnp.where(imp, tile(pay_full[0:1]), tnx_ref[:])
+        tny_ref[:] = jnp.where(imp, tile(pay_full[1:2]), tny_ref[:])
+        tnz_ref[:] = jnp.where(imp, tile(pay_full[2:3]), tnz_ref[:])
+        mid_ref[:] = jnp.where(imp, tile(pay_full[3:4]), mid_ref[:])
 
     return visit
 
