@@ -57,6 +57,10 @@ class PackedBVH:
 
     pairs: jnp.ndarray  # (P, 16) float32
     tri_rows: jnp.ndarray  # (R, 128) float32
+    # slot -> original triangle index (slot = row*8 + lane/16); -1 padding.
+    # Lets the differentiable intersect hook gather the winning triangle's
+    # exact data for the gradient-carrying hit recompute.
+    prim_map: jnp.ndarray = None  # (R*8,) int32
     root: int = 0  # pair row of the root record (static)
     n_rows: int = 0
     n_pairs: int = 0
@@ -172,12 +176,14 @@ def pack_bvh(bvh, tris, materials=None) -> PackedBVH:
     total_rows = int(sum(_leaf_rows_needed(int(right[i])) for i in leaves))
     total_rows = max(total_rows, 1)
     tri_rows = np.zeros((total_rows, TRIS_PER_ROW * TRI_STRIDE), np.float32)
+    prim_map = np.full(total_rows * TRIS_PER_ROW, -1, np.int32)
     leaf_row = {}
     row = 0
     for i in leaves:
         first, count = int(left[i]), int(right[i])
         leaf_row[int(i)] = row
         prims = prim_idx[first : first + count]
+        prim_map[row * TRIS_PER_ROW : row * TRIS_PER_ROW + count] = prims
         tri16 = np.zeros((count, TRI_STRIDE), np.float32)
         tri16[:, 0:3] = v0[prims]
         tri16[:, 3:6] = e1[prims]
@@ -204,9 +210,17 @@ def pack_bvh(bvh, tris, materials=None) -> PackedBVH:
     )
     max_leaf = int(right[leaves].max()) if leaves.size else 1
 
+    padded_rows = pad8(tri_rows)
+    if padded_rows.shape[0] > total_rows:
+        prim_map = np.concatenate([
+            prim_map,
+            np.full((padded_rows.shape[0] - total_rows) * TRIS_PER_ROW, -1,
+                    np.int32),
+        ])
     return PackedBVH(
         pairs=jnp.asarray(pad8(pairs)),
-        tri_rows=jnp.asarray(pad8(tri_rows)),
+        tri_rows=jnp.asarray(padded_rows),
+        prim_map=jnp.asarray(prim_map),
         root=root,
         n_rows=total_rows,
         n_pairs=pairs.shape[0],

@@ -61,10 +61,6 @@ from . import megakernel as mk
 
 _HI = jax.lax.Precision.HIGHEST
 _CD = (((1,), (0,)), ((), ()))  # contract lhs dim 1 with rhs dim 0
-_CD0 = (((0,), (0,)), ((), ()))  # contract lhs dim 0 with rhs dim 0
-# (A^T @ B without materializing the transpose: Mosaic takes the
-# contraction dims directly, so the (8, N) coefficient blocks feed the
-# MXU as stored)
 
 TILE_H = mk.TILE_H
 TILE_W = mk.TILE_W
@@ -104,11 +100,13 @@ def _with_dummy_row(pairs):
     )
 
 
-def traversal_scratch_shapes(tile_h: int = TILE_H):
+def traversal_scratch_shapes(tile_h: int = TILE_H, track_prim: bool = False):
     """Scratch buffers the packet traversal needs (see `make_packet_intersect`
     argument order): the scalar pair-row stack and the per-lane hit
-    registers."""
-    return [
+    registers.  ``track_prim`` adds the winner-slot register the
+    differentiable intersect hook reads (slot -> `PackedBVH.prim_map` ->
+    original triangle, gradient-carrying hit recompute)."""
+    shapes = [
         pltpu.SMEM((STACK_SIZE,), jnp.int32),       # pair-row stack
         pltpu.VMEM((tile_h, TILE_W), jnp.float32),  # best_t
         pltpu.VMEM((tile_h, TILE_W), jnp.float32),  # tnx
@@ -116,6 +114,9 @@ def traversal_scratch_shapes(tile_h: int = TILE_H):
         pltpu.VMEM((tile_h, TILE_W), jnp.float32),  # tnz
         pltpu.VMEM((tile_h, TILE_W), jnp.float32),  # mat id
     ]
+    if track_prim:
+        shapes.append(pltpu.VMEM((tile_h, TILE_W), jnp.float32))  # slot id
+    return shapes
 
 
 def make_packet_intersect(
@@ -137,6 +138,7 @@ def make_packet_intersect(
     dummy_row: int | None = None,
     mxu_refs=None,
     mxu_precision=_HI,
+    sid_ref=None,
 ):
     """Build the ``intersect_fn`` plugged into ``trace_tile``.
 
@@ -179,7 +181,7 @@ def make_packet_intersect(
             o3, d3, active, st["best_t"],
             root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
             pops_per_iter=pops_per_iter, dummy_row=dummy_row,
-            leaf_visit=leaf_visit,
+            leaf_visit=leaf_visit, sid_ref=sid_ref,
         )
 
         # ---- resolve traversal registers into the shared hit-state shape
@@ -325,6 +327,7 @@ def run_packet_traversal(
     pops_per_iter: int = 1,
     dummy_row: int | None = None,
     leaf_visit=None,
+    sid_ref=None,
 ):
     """The shared packet traversal loop: runs the SMEM-stack tree walk and
     leaves (best_t, triangle normal, material id) in the scratch refs.
@@ -332,6 +335,12 @@ def run_packet_traversal(
     lanes that beat it are triangle hits (``mid >= 0``).  Both the RGB and
     the spectral packet engines wrap this core with their own material
     resolve.
+
+    ``sid_ref``: optional extra register tracking the winner's tri-row
+    SLOT (row*8 + j as float) — the differentiable intersect hook maps it
+    through ``PackedBVH.prim_map`` to the original triangle for the
+    gradient-carrying hit recompute.  Only the default (row-leaf) visit
+    supports it.
 
     ``leaf_visit(ptr, cnt, hitm)``: optional replacement for the default
     VPU scalar-broadcast Möller–Trumbore leaf loop — the MXU superleaf
@@ -359,6 +368,10 @@ def run_packet_traversal(
     tny_ref[:] = jnp.zeros_like(dx)
     tnz_ref[:] = jnp.zeros_like(dx)
     mid_ref[:] = jnp.full_like(dx, -1.0)
+    if sid_ref is not None:
+        if leaf_visit is not None:
+            raise ValueError("sid_ref requires the default row-leaf visit")
+        sid_ref[:] = jnp.full_like(dx, -1.0)
 
     # packet mean ray for the ordered-descent heuristic (6 reduces,
     # amortized over the whole traversal)
@@ -378,6 +391,9 @@ def run_packet_traversal(
             ny_l = tny_ref[:]
             nz_l = tnz_ref[:]
             mid_l = mid_ref[:]
+            if sid_ref is not None:
+                sid_l = sid_ref[:]
+                base_f = (ptr * TRIS_PER_ROW).astype(jnp.float32)
             for rr in range(rows_per_leaf):
                 rowv = tris_ref[pl.ds(ptr + rr, 1), :]  # (1, 128)
                 for j in range(TRIS_PER_ROW):
@@ -434,11 +450,17 @@ def run_packet_traversal(
                     ny_l = jnp.where(hit_k, nyc, ny_l)
                     nz_l = jnp.where(hit_k, nzc, nz_l)
                     mid_l = jnp.where(hit_k, matf, mid_l)
+                    if sid_ref is not None:
+                        sid_l = jnp.where(
+                            hit_k, base_f + np.float32(jj), sid_l
+                        )
             bt_ref[:] = best_l
             tnx_ref[:] = nx_l
             tny_ref[:] = ny_l
             tnz_ref[:] = nz_l
             mid_ref[:] = mid_l
+            if sid_ref is not None:
+                sid_ref[:] = sid_l
 
     activef = active.astype(jnp.float32)
     stack_ref[0] = np.int32(root)
@@ -635,16 +657,25 @@ def _kernel(
 def _intersect_only_kernel(
     ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
     pairs_ref, tris_ref,
-    out_t, out_nx, out_ny, out_nz, out_mid,
-    stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
-    *, root, rows_per_leaf, max_leaf, pops_per_iter, dummy_row,
+    *rest,
+    root, rows_per_leaf, max_leaf, pops_per_iter, dummy_row,
+    track_prim=False,
 ):
+    if track_prim:
+        (out_t, out_nx, out_ny, out_nz, out_mid, out_sid,
+         stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
+         sid_ref) = rest
+    else:
+        (out_t, out_nx, out_ny, out_nz, out_mid,
+         stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref) = rest
+        sid_ref = None
     intersect = make_packet_intersect(
         pairs_ref, tris_ref, stack_ref,
         bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
         spheres=[], mats=[],
         root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
         pops_per_iter=pops_per_iter, dummy_row=dummy_row,
+        sid_ref=sid_ref,
     )
     o3 = (ox_ref[:], oy_ref[:], oz_ref[:])
     d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
@@ -657,13 +688,16 @@ def _intersect_only_kernel(
     out_ny[:] = tny_ref[:]
     out_nz[:] = tnz_ref[:]
     out_mid[:] = mid_ref[:]
+    if track_prim:
+        out_sid[:] = sid_ref[:]
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "tile_h", "pops_per_iter")
+    jax.jit,
+    static_argnames=("interpret", "tile_h", "pops_per_iter", "track_prim"),
 )
 def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
-                           pops_per_iter=1, active=None):
+                           pops_per_iter=1, active=None, track_prim=False):
     n_rows = origins.shape[0] // TILE_W
     if active is None:
         active = jnp.ones(origins.shape[0], jnp.float32)
@@ -683,7 +717,9 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
         max_leaf=packed.max_leaf,
         pops_per_iter=pops_per_iter,
         dummy_row=packed.pairs.shape[0],
+        track_prim=track_prim,
     )
+    n_out = 6 if track_prim else 5
     block = pl.BlockSpec(
         (tile_h, TILE_W), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
@@ -699,7 +735,7 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        out_shape=(out_shape,) * 5,
+        out_shape=(out_shape,) * n_out,
         in_specs=[block] * 7
         + [
             pl.BlockSpec(
@@ -710,8 +746,8 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=(block,) * 5,
-        scratch_shapes=traversal_scratch_shapes(tile_h),
+        out_specs=(block,) * n_out,
+        scratch_shapes=traversal_scratch_shapes(tile_h, track_prim),
         interpret=interpret,
     )(*comps, pairs, packed.tri_rows)
     return [o.reshape(-1) for o in outs]
@@ -1005,6 +1041,7 @@ def make_sorted_tile_intersect(
     tile_h: int = 32,
     pops_per_iter: int | None = None,
     sort: bool = True,
+    grad: bool = False,
 ):
     """Build the ``intersect_fn`` for the sorted bounce-wavefront engine.
     Cached per config: callers hold the fn in jit static args, so a fresh
@@ -1024,8 +1061,17 @@ def make_sorted_tile_intersect(
       (the kernel's any-active gate) — free compaction without compaction.
 
     Returns ``intersect(scene, o, d, alive) -> Hit``; plugs into
-    ``integrator.path_trace.trace(intersect_fn=...)``.  Forward-only (the
-    traversal is a Pallas kernel): use the wavefront engine for gradients.
+    ``integrator.path_trace.trace(intersect_fn=...)``.
+
+    ``grad=False`` (default): forward-only — the Hit carries the kernel's
+    raw traversal outputs.  ``grad=True``: the DIFFERENTIABLE hook — the
+    kernel additionally reports the winning tri-row slot; the slot maps
+    through ``PackedBVH.prim_map`` to the original triangle, whose hit is
+    recomputed differentiably (`accel.traverse._winner_triangle_hit`), so
+    camera/geometry/material gradients flow while traversal itself stays a
+    stop-gradient Pallas kernel.  This is the mesh hybrid's backward
+    intersect: the estimator's VJP replays paths at packet-traversal
+    speed instead of the pure-XLA stackless walk.
     """
     from ..integrator.intersect import (
         Hit,
@@ -1068,6 +1114,31 @@ def make_sorted_tile_intersect(
                                (pad, 1))]
             )
             act_s = jnp.concatenate([act_s, jnp.zeros(pad, jnp.float32)])
+
+        if grad:
+            from ..accel.traverse import _winner_triangle_hit
+
+            # stop_gradient on EVERY kernel input (incl. the packed tables,
+            # which are float leaves of the differentiated scene pytree):
+            # pallas_call has no JVP rule; traversal is a discrete choice
+            outs = _intersect_tile_launch(
+                jax.lax.stop_gradient(packed), jax.lax.stop_gradient(o_s),
+                jax.lax.stop_gradient(d_s), interpret, tile_h=tile_h,
+                pops_per_iter=pops,
+                active=jax.lax.stop_gradient(act_s), track_prim=True,
+            )
+            inv = jnp.argsort(order)
+            t, sid = outs[0][inv], outs[5][inv]
+            slot = jnp.clip(sid.astype(jnp.int32), 0,
+                            packed.prim_map.shape[0] - 1)
+            prim = jnp.maximum(packed.prim_map[slot], 0)
+            tri_hit = (t < 1e19) & (sid >= 0.0)
+            # gradient-carrying recompute against the winner triangle:
+            # t/normal/material re-derived from the differentiable
+            # triangle tables and the (differentiable) original rays
+            tri = _winner_triangle_hit(scene.triangles, prim, tri_hit, o, d)
+            sph = intersect_spheres(scene.spheres, o, d)
+            return merge_hits(sph, tri)
 
         t, nx, ny, nz, mid = _intersect_tile_launch(
             packed, o_s, d_s, interpret, tile_h=tile_h,

@@ -52,9 +52,27 @@ def render_flat(
 
     Fully on-device: `lax.scan` over samples, each sample generating and
     tracing a (H*W,) ray wavefront.
+
+    On TPU, packed mesh scenes route intersection through the
+    differentiable packet hook instead of the pure-XLA stackless
+    traversal: the stackless walk standalone runs fine on the chip, but
+    composed into the full spp×bounce render it faults the device
+    (round-4 bisect, `benchmarks/wf_fault_probe.py`).  The hook is
+    bitwise-equivalent (same winner, same differentiable hit recompute —
+    `tests/test_grad.py::test_packet_backward_matches_wavefront_backward_bitwise`)
+    and faster.
     """
     if spp < 1:
         raise ValueError(f"spp must be >= 1, got {spp}")
+    intersect_fn = None
+    if (
+        scene.packed is not None
+        and semantics == "physical"
+        and jax.default_backend() == "tpu"
+    ):
+        from .kernels.bvh_megakernel import make_sorted_tile_intersect
+
+        intersect_fn = make_sorted_tile_intersect(grad=True)
     base = srng.base_key(seed)
     return accumulate_rows(
         scene,
@@ -70,6 +88,7 @@ def render_flat(
         semantics=semantics,
         inclusive_uv=inclusive_uv,
         spectral=spectral,
+        intersect_fn=intersect_fn,
     ) / jnp.float32(spp)
 
 
@@ -280,16 +299,17 @@ def select_engine(
       with packed pair tables, physical)
     * ``pallas_spectral_bvh`` — the spectral packet kernel (TPU; packed
       mesh scenes with spectral transport in one dispatch)
-    * ``pallas_bvh_mxu`` — the packet traversal with MXU superleaf leaves
-      (pair tree over 128-triangle Plücker blocks; explicit only — see
-      docs/ARCHITECTURE.md for when it beats ``pallas_bvh``)
-    * ``pallas_mxu`` — streaming superleaf MXU megakernel (explicit only,
-      never auto-selected: the packet kernel prunes better at every
-      measured mesh size — see kernels/mxu_megakernel.py)
     * ``fused``      — same fused tracer as one XLA computation (any backend)
     * ``wavefront``  — the general masked-scan estimator (triangles/BVH,
       spectral transport, reference semantics, thin-lens cameras, gradients
       with overrides)
+
+    ``bvh_sorted`` is accepted but is not a peer engine: it is the
+    per-bounce ray-regrouping *intersect hook* the adaptive/wavefront
+    drivers use (see :func:`render_flat_bvh_sorted`).  The retired MXU
+    experiments (``pallas_mxu``, ``pallas_bvh_mxu``) remain callable for
+    reproducibility — measured slower than ``pallas_bvh`` at every tier;
+    see :mod:`spira_tpu.experiments` for the post-mortem.
     """
     if engine != "auto":
         return engine
@@ -433,24 +453,51 @@ from functools import lru_cache as _lru_cache
 
 @_lru_cache(maxsize=None)
 def _hybrid_mesh_vjp_fn(width, height, spp, grad_spp, max_depth,
-                        inclusive_uv, fwd_engine):
+                        inclusive_uv, fwd_engine, bwd_engine,
+                        spectral=False):
     """custom_vjp closure over the static render config (cached per config).
 
     Forward runs the packet-BVH Pallas megakernel (wavefront on non-TPU
-    backends); backward replays the *wavefront* estimator — whose BVH
-    intersect differentiably recomputes the traversal winner
-    (`accel/traverse.py`), so gradients flow to materials, camera and
-    geometry — via its VJP at ``grad_spp`` samples.  Unlike the sphere
-    hybrid, forward and backward draw from different RNG families (PCG4D
-    vs threefry): the backward is an unbiased independent-stream estimator
-    of the expected-loss gradient rather than the exact gradient of the
-    forward sample — the standard stochastic-rendering-gradient setup.
+    backends); backward replays the wavefront *estimator* via its VJP at
+    ``grad_spp`` samples, with one of two intersect providers:
+
+    * ``bwd_engine="packet"`` (TPU default) — the differentiable packet
+      hook (`make_sorted_tile_intersect(grad=True)`): traversal runs as a
+      stop-gradient Pallas kernel that reports the winning triangle; the
+      hit is recomputed differentiably from the winner.  This exists
+      because the pure-XLA stackless traversal FAULTS the real chip on
+      mesh scenes (round-3 `meshgrad` battery crash, bisected round-4 to
+      the forward `intersect_bvh` while_loop itself) — and it is also the
+      faster replay.
+    * ``bwd_engine="wavefront"`` (non-TPU default) — the stackless
+      `accel/traverse.py` walk with differentiable winner recompute.
+
+    Either way gradients flow to materials, camera and geometry.  Unlike
+    the sphere hybrid, forward and backward draw from different RNG
+    families (PCG4D vs threefry): the backward is an unbiased
+    independent-stream estimator of the expected-loss gradient rather
+    than the exact gradient of the forward sample — the standard
+    stochastic-rendering-gradient setup.
     """
     kw = dict(width=width, height=height, max_depth=max_depth,
               inclusive_uv=inclusive_uv)
 
     @jax.custom_vjp
     def f(scene, camera, seed):
+        if spectral and fwd_engine in ("pallas_bvh", "pallas_bvh_interpret"):
+            from .kernels.spectral_bvh import (
+                render_flat_spectral_bvh_megakernel,
+            )
+
+            return render_flat_spectral_bvh_megakernel(
+                scene, camera, spp=spp, seed=seed,
+                interpret=fwd_engine.endswith("interpret"), **kw
+            )
+        if spectral:
+            return render_flat(
+                scene, camera, spp=spp, seed=seed, semantics="physical",
+                spectral=True, **kw
+            )
         if fwd_engine in ("pallas_bvh", "pallas_bvh_interpret"):
             from .kernels.bvh_megakernel import render_flat_bvh_megakernel
 
@@ -475,10 +522,25 @@ def _hybrid_mesh_vjp_fn(width, height, spp, grad_spp, max_depth,
     def bwd(res, g):
         scene, camera, seed = res
 
-        def replay(sc, cam):
-            return render_flat(
-                sc, cam, spp=grad_spp, seed=seed, semantics="physical", **kw
+        if bwd_engine.startswith("packet"):
+            from .kernels.bvh_megakernel import make_sorted_tile_intersect
+
+            intersect_fn = make_sorted_tile_intersect(
+                grad=True, interpret=bwd_engine.endswith("interpret"),
             )
+        else:
+            intersect_fn = None  # intersect_scene: stackless traversal
+
+        def replay(sc, cam):
+            base = srng.base_key(seed)
+            acc = accumulate_rows(
+                sc, cam, base, width=width, height=height, row_start=0,
+                n_rows=height, sample_offset=0, n_samples=grad_spp,
+                max_depth=max_depth, semantics="physical",
+                inclusive_uv=inclusive_uv, spectral=spectral,
+                intersect_fn=intersect_fn,
+            )
+            return acc / jnp.float32(grad_spp)
 
         _, vjp = jax.vjp(replay, scene, camera)
         d_scene, d_camera = vjp(g)
@@ -500,26 +562,42 @@ def render_flat_hybrid_grad_mesh(
     grad_spp: int | None = None,
     inclusive_uv: bool = True,
     engine: str | None = None,
+    bwd: str | None = None,
+    spectral: bool = False,
 ):
     """Differentiable MESH render at packet-BVH Pallas-forward speed.
 
     Forward: the packet-BVH megakernel (or its MXU-superleaf variant via
     ``engine="pallas_bvh_mxu"``).  Backward: the wavefront estimator's VJP
-    over ``grad_spp`` samples (default: ``spp``), through the
-    stop-gradient traversal + differentiable winner recompute — so
-    material, camera AND geometry gradients flow for arbitrarily large
-    meshes.  Extends BASELINE's "pixel gradients w.r.t. material SPDs,
-    geometry, and camera" to the fast mesh engine (reference has no
-    differentiable path at all).
+    over ``grad_spp`` samples (default: ``spp``), through a stop-gradient
+    traversal + differentiable winner recompute — so material, camera AND
+    geometry gradients flow for arbitrarily large meshes.  Extends
+    BASELINE's "pixel gradients w.r.t. material SPDs, geometry, and
+    camera" to the fast mesh engine (reference has no differentiable path
+    at all).
+
+    ``bwd``: the backward's intersect provider — ``"packet"`` (traversal
+    as a stop-gradient Pallas kernel; the TPU default — the pure-XLA
+    stackless walk faults the real chip on mesh scenes and compiles ~15×
+    slower), ``"packet_interpret"``, or ``"wavefront"`` (the stackless
+    XLA walk; default off-TPU).
+
+    ``spectral=True``: the SPECTRAL mesh hybrid — spectral packet-BVH
+    Pallas forward (`kernels/spectral_bvh.py`), spectral wavefront replay
+    backward through the same intersect provider; gradients flow to
+    material SPD tables, camera and geometry (BASELINE configs 2+3+4
+    combined; the reference claims spectral in docs only).
     """
     if engine is None:
         engine = (
             "pallas_bvh" if jax.default_backend() == "tpu" else "wavefront"
         )
+    if bwd is None:
+        bwd = "packet" if jax.default_backend() == "tpu" else "wavefront"
     f = _hybrid_mesh_vjp_fn(
         width, height, spp,
         grad_spp if grad_spp is not None else spp,
-        max_depth, inclusive_uv, engine,
+        max_depth, inclusive_uv, engine, bwd, spectral,
     )
     return f(scene, camera, jnp.int32(seed))
 

@@ -34,7 +34,7 @@ class RenderConfig:
     # estimator
     semantics: str = "physical"  # physical | reference
     spectral: bool = False
-    engine: str = "auto"  # auto | pallas | pallas_bvh | pallas_mxu | fused | wavefront
+    engine: str = "auto"  # auto | pallas | pallas_bvh | pallas_spectral_bvh | fused | wavefront
     shading: str = "full"  # full | preview | normal (single-bounce quick looks)
     seed: int = 0
     tonemap: str = "gamma"  # gamma | aces | none
@@ -97,8 +97,11 @@ def add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--engine", default="auto",
                    choices=["auto", "pallas", "pallas_bvh",
                             "pallas_spectral_bvh", "pallas_mxu",
-                            "bvh_sorted", "fused", "wavefront"],
-                   help="execution engine (auto picks per scene/backend)")
+                            "pallas_bvh_mxu", "bvh_sorted", "fused",
+                            "wavefront"],
+                   help="execution engine (auto picks per scene/backend; "
+                        "the pallas_*mxu engines are retired experiments — "
+                        "see spira_tpu.experiments)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--tonemap", default="gamma",
                    choices=["gamma", "aces", "none"])

@@ -257,6 +257,70 @@ def test_camera_grad_traces_through_bvh_mesh_fast():
     assert out.shape == (3,)
 
 
+def test_fd_parity_through_bvh_traversal_fast():
+    """FD gradient parity through the BVH traversal in the DEFAULT tier
+    (VERDICT r3 item 3): camera-origin + mesh-albedo gradients on a real
+    BVH mesh scene, checked against central differences on every plain
+    ``pytest -q`` run, not only in the slow tier.
+
+    Budget trick: the wavefront mesh backward's compile cost scales with
+    (traversal chunk x leaf unroll); rebuilding the subdiv-0 icosphere's
+    tree at leaf<=4 (vs create_mesh_scene's 16) cuts the compile ~15x
+    (~13 s on an idle multicore box), and ONE jitted value_and_grad serves
+    both the analytic gradients and every FD probe (its value output is
+    the probe; the wasted grad work is trivial at this shape)."""
+    from spira_tpu.accel.bvh import build_bvh
+    from spira_tpu.core.types import replace as dc_replace
+    from spira_tpu.render import render_flat
+    from spira_tpu.scene.camera import make_camera
+    from spira_tpu.scene.geometry import triangle_bounds
+
+    scene = st.create_mesh_scene(subdivisions=0)
+    lo, hi = triangle_bounds(scene.triangles)
+    scene = dc_replace(
+        scene, bvh=build_bvh(np.asarray(lo), np.asarray(hi), leaf_size=4)
+    )
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=6.0)
+
+    def loss(origin, albedo):
+        c = dc_replace(cam, origin=origin)
+        sc = dc_replace(
+            scene, materials=dc_replace(scene.materials, albedo=albedo)
+        )
+        img = render_flat(sc, c, width=48, height=8, spp=1,
+                          max_depth=2, seed=3)
+        return jnp.mean(img ** 2)
+
+    vag = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    a0 = scene.materials.albedo
+    _, (g_cam, g_alb) = vag(cam.origin, a0)
+    g_cam = np.asarray(g_cam)
+    g_alb = np.asarray(g_alb)
+    assert np.isfinite(g_cam).all() and np.isfinite(g_alb).all()
+    assert np.abs(g_cam).max() > 0 and np.abs(g_alb).max() > 0
+
+    # camera: eps small enough that no sample crosses a silhouette inside
+    # [x-eps, x+eps] (see the slow-tier test's eps study)
+    k = int(np.abs(g_cam).argmax())
+    eps = 1e-4
+    up = np.asarray(cam.origin).copy(); up[k] += eps
+    dn = np.asarray(cam.origin).copy(); dn[k] -= eps
+    fd = (float(vag(jnp.asarray(up), a0)[0])
+          - float(vag(jnp.asarray(dn), a0)[0])) / (2 * eps)
+    assert abs(fd - g_cam[k]) <= max(5e-4, 0.05 * abs(fd)), (fd, g_cam[k])
+
+    # albedo: continuous parameter, tight parity on the dominant entry
+    a64 = np.asarray(a0, np.float64)
+    i, j = np.unravel_index(np.abs(g_alb).argmax(), g_alb.shape)
+    eps = 2e-3
+    ap = a64.copy(); ap[i, j] += eps
+    am = a64.copy(); am[i, j] -= eps
+    fd = (float(vag(cam.origin, jnp.asarray(ap, jnp.float32))[0])
+          - float(vag(cam.origin, jnp.asarray(am, jnp.float32))[0])) / (2 * eps)
+    assert abs(fd - g_alb[i, j]) <= max(2e-3, 0.03 * abs(fd)), (fd, g_alb[i, j])
+
+
 @pytest.mark.slow
 def test_camera_gradients_flow_through_bvh_mesh():
     """VERDICT r2 gap: d(loss)/d(camera.origin) used to RAISE on BVH mesh
@@ -457,3 +521,158 @@ def test_hybrid_mesh_grad_forward_is_packet_backward_is_wavefront():
     gr = np.asarray(jax.grad(loss_replay)(a0))
     assert np.abs(gh).max() > 0
     np.testing.assert_allclose(gh, gr, rtol=1e-6)
+
+
+def test_packet_backward_matches_wavefront_backward_bitwise():
+    """The differentiable packet intersect hook
+    (`make_sorted_tile_intersect(grad=True)`) — the mesh hybrid's TPU
+    backward — produces BITWISE-identical gradients to the stackless
+    wavefront replay: same threefry streams, same winner, same
+    differentiable hit recompute; only the traversal implementation
+    differs (stop-gradient Pallas kernel vs stop-gradient XLA
+    while_loop).  Round-4 regression guard: the stackless walk faults
+    the real chip on mesh scenes, so the packet hook is the backward
+    actually measured on hardware."""
+    from spira_tpu.accel.bvh import build_bvh
+    from spira_tpu.accel.pairs import attach_packed
+    from spira_tpu.core.types import replace as dc_replace
+    from spira_tpu.render import render_flat, render_flat_hybrid_grad_mesh
+    from spira_tpu.scene.camera import make_camera
+    from spira_tpu.scene.geometry import triangle_bounds
+    from spira_tpu.scene.scene import create_mesh_scene
+
+    # leaf<=4 rebuild: the wavefront side's compile scales with
+    # (chunk x leaf unroll) — same budget trick as the fast FD test
+    scene = create_mesh_scene(subdivisions=0)
+    lo, hi = triangle_bounds(scene.triangles)
+    scene = attach_packed(dc_replace(
+        scene, bvh=build_bvh(np.asarray(lo), np.asarray(hi), leaf_size=4)
+    ))
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=48.0 / 8.0)
+    kw = dict(width=48, height=8, spp=1, max_depth=2, seed=3)
+
+    # linear loss: the custom_vjp cotangent is constant, so the hybrid's
+    # backward must equal the wavefront grad exactly (a nonlinear loss
+    # would mix in the forward image, which uses a different RNG family)
+    def loss_packet(albedo, origin):
+        sc = dc_replace(scene,
+                        materials=dc_replace(scene.materials, albedo=albedo))
+        c = dc_replace(cam, origin=origin)
+        img = render_flat_hybrid_grad_mesh(
+            sc, c, engine="pallas_bvh_interpret", bwd="packet_interpret",
+            **kw)
+        return jnp.mean(img)
+
+    def loss_wavefront(albedo, origin):
+        sc = dc_replace(scene,
+                        materials=dc_replace(scene.materials, albedo=albedo))
+        c = dc_replace(cam, origin=origin)
+        img = render_flat(sc, c, semantics="physical", **kw)
+        return jnp.mean(img)
+
+    a0, o0 = scene.materials.albedo, cam.origin
+    gp = jax.grad(loss_packet, argnums=(0, 1))(a0, o0)
+    gw = jax.grad(loss_wavefront, argnums=(0, 1))(a0, o0)
+    ga_p, go_p = np.asarray(gp[0]), np.asarray(gp[1])
+    ga_w, go_w = np.asarray(gw[0]), np.asarray(gw[1])
+    assert np.abs(ga_p).max() > 0 and np.abs(go_p).max() > 0
+    np.testing.assert_array_equal(ga_p, ga_w)
+    np.testing.assert_array_equal(go_p, go_w)
+
+
+def test_spectral_mesh_hybrid_forward_and_spd_gradients():
+    """The SPECTRAL mesh hybrid (`render_flat_hybrid_grad_mesh(spectral=
+    True)`): forward is bitwise the spectral packet kernel; its backward
+    (spectral replay through the differentiable packet hook) matches the
+    spectral wavefront replay's albedo-SPD gradient (linear loss -> the
+    custom_vjp cotangent is constant).  BASELINE configs 2+3+4 combined —
+    round-4 deliverable (VERDICT r3 item 4)."""
+    from spira_tpu.accel.bvh import build_bvh
+    from spira_tpu.accel.pairs import attach_packed
+    from spira_tpu.core.types import replace as dc_replace
+    from spira_tpu.kernels.spectral_bvh import (
+        render_flat_spectral_bvh_megakernel,
+    )
+    from spira_tpu.render import render_flat, render_flat_hybrid_grad_mesh
+    from spira_tpu.scene.camera import make_camera
+    from spira_tpu.scene.geometry import triangle_bounds
+    from spira_tpu.scene.scene import create_mesh_scene
+
+    scene = create_mesh_scene(subdivisions=0)
+    lo, hi = triangle_bounds(scene.triangles)
+    scene = attach_packed(dc_replace(
+        scene, bvh=build_bvh(np.asarray(lo), np.asarray(hi), leaf_size=4)
+    ))
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=48.0 / 8.0)
+    kw = dict(width=48, height=8, spp=1, max_depth=2, seed=3)
+
+    v_hybrid = np.asarray(render_flat_hybrid_grad_mesh(
+        scene, cam, engine="pallas_bvh_interpret", bwd="packet_interpret",
+        spectral=True, **kw))
+    v_direct = np.asarray(render_flat_spectral_bvh_megakernel(
+        scene, cam, interpret=True, **kw))
+    np.testing.assert_array_equal(v_hybrid, v_direct)
+
+    def loss_h(spd):
+        sc = dc_replace(scene, materials=dc_replace(
+            scene.materials, albedo_spd=spd))
+        return jnp.mean(render_flat_hybrid_grad_mesh(
+            sc, cam, engine="pallas_bvh_interpret", bwd="packet_interpret",
+            spectral=True, **kw))
+
+    def loss_w(spd):
+        sc = dc_replace(scene, materials=dc_replace(
+            scene.materials, albedo_spd=spd))
+        return jnp.mean(render_flat(sc, cam, semantics="physical",
+                                    spectral=True, **kw))
+
+    s0 = scene.materials.albedo_spd
+    gh = np.asarray(jax.grad(loss_h)(s0))
+    gw = np.asarray(jax.grad(loss_w)(s0))
+    assert np.abs(gh).max() > 0
+    np.testing.assert_allclose(gh, gw, atol=1e-8, rtol=1e-5)
+
+
+def test_fd_parity_spectral_mesh_albedo_spd():
+    """FD gradient parity for a MESH material's albedo SPD through the
+    spectral estimator + BVH traversal (VERDICT r3 item 4: 'one FD test
+    on a spectral mesh material').  One jitted value_and_grad serves both
+    the analytic gradient and the FD probes."""
+    from spira_tpu.accel.bvh import build_bvh
+    from spira_tpu.core.types import replace as dc_replace
+    from spira_tpu.render import render_flat
+    from spira_tpu.scene.camera import make_camera
+    from spira_tpu.scene.geometry import triangle_bounds
+    from spira_tpu.scene.scene import create_mesh_scene
+
+    scene = create_mesh_scene(subdivisions=0)
+    lo, hi = triangle_bounds(scene.triangles)
+    scene = dc_replace(
+        scene, bvh=build_bvh(np.asarray(lo), np.asarray(hi), leaf_size=4)
+    )
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=6.0)
+
+    def loss(spd):
+        sc = dc_replace(scene, materials=dc_replace(
+            scene.materials, albedo_spd=spd))
+        img = render_flat(sc, cam, width=48, height=8, spp=1,
+                          max_depth=2, seed=3, spectral=True)
+        return jnp.mean(img ** 2)
+
+    vag = jax.jit(jax.value_and_grad(loss))
+    s0 = scene.materials.albedo_spd
+    _, g = vag(s0)
+    g = np.asarray(g)
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
+    # mesh material is index 0; probe its dominant SPD bin
+    i, j = np.unravel_index(np.abs(g).argmax(), g.shape)
+    s64 = np.asarray(s0, np.float64)
+    eps = 2e-3
+    sp = s64.copy(); sp[i, j] += eps
+    sm = s64.copy(); sm[i, j] -= eps
+    fd = (float(vag(jnp.asarray(sp, jnp.float32))[0])
+          - float(vag(jnp.asarray(sm, jnp.float32))[0])) / (2 * eps)
+    assert abs(fd - g[i, j]) <= max(2e-3, 0.05 * abs(fd)), (fd, g[i, j])
