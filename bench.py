@@ -259,38 +259,35 @@ def main() -> None:
                 f"{rays / dt_mesh / 1e6:.0f} Mrays/s ({dt_mesh * 1e3:.1f} ms)",
                 file=sys.stderr,
             )
+            # Differentiable MESH step (the round-3 flagship gap, fixed in
+            # round 4): packet-BVH Pallas forward + packet-hook backward
             try:
-                from spira_tpu.accel.mxu import attach_superleaf
+                from spira_tpu.core.types import replace
+                from spira_tpu.render import render_flat_hybrid_grad_mesh
 
-                mscene_sl = attach_superleaf(mscene)
-                dt_mxu = _time(
-                    lambda i: render_flat_bvh_megakernel(
-                        mscene_sl, mcamera, **kw, seed=i, mxu_leaf=True
-                    ),
-                    5,
-                )
+                a0 = mscene.materials.albedo
+
+                @jax.jit
+                def mesh_step(albedo, seed):
+                    def loss_fn(a):
+                        s = replace(mscene, materials=replace(
+                            mscene.materials, albedo=a))
+                        img = render_flat_hybrid_grad_mesh(
+                            s, mcamera, **kw, seed=seed, grad_spp=2)
+                        return jnp.mean(img)
+
+                    return jax.value_and_grad(loss_fn)(albedo)
+
+                dt_mg = _time(
+                    lambda i: mesh_step(a0, jnp.int32(i))[1], 3)
                 print(
-                    f"fwd MXU-superleaf packet BVH ({n_tris} tris): "
-                    f"{rays / dt_mxu / 1e6:.0f} Mrays/s "
-                    f"({dt_mxu * 1e3:.1f} ms)",
+                    f"fwd+bwd mesh hybrid grad_spp=2 ({n_tris} tris): "
+                    f"{rays / dt_mg / 1e6:.1f} Mrays/s "
+                    f"({dt_mg * 1e3:.1f} ms)",
                     file=sys.stderr,
                 )
             except Exception as e:  # pragma: no cover - TPU-env guard
-                print(f"mxu-leaf mesh tier skipped ({e!r})", file=sys.stderr)
-            from spira_tpu.render import render_flat_bvh_sorted
-
-            dt_sorted = _time(
-                lambda i: render_flat_bvh_sorted(
-                    mscene, mcamera, **kw, seed=i
-                ),
-                5,
-            )
-            print(
-                f"fwd sorted bounce-wavefront ({n_tris} tris): "
-                f"{rays / dt_sorted / 1e6:.0f} Mrays/s "
-                f"({dt_sorted * 1e3:.1f} ms)",
-                file=sys.stderr,
-            )
+                print(f"mesh grad tier skipped ({e!r})", file=sys.stderr)
         except Exception as e:  # pragma: no cover - TPU-env guard
             print(f"mesh bench skipped ({e!r})", file=sys.stderr)
 

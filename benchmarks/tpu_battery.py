@@ -1,21 +1,21 @@
 """One-shot TPU measurement battery for when the axon chip is reachable.
 
 The round-2/3 axon outages showed chip uptime can be scarce: this script
-converts a window of chip availability into every pending round-3 artifact
+converts a window of chip availability into every pending round-4 artifact
 with no operator latency.  Each step runs in its OWN subprocess with a hard
 timeout (a hung remote compile cannot take down the battery, and a failed
 backend init in one step does not poison the next), in priority order:
 
-1. smoke   — tiny-shape Mosaic compiles of the round-3 kernels (fail fast,
-             warm the remote compile cache)
-2. bench   — the headline bench.py JSON (what the driver captures)
-3. mesh    — mesh-engine timings (packet baseline vs sorted wavefront)
-4. spectral— spectral packet/sorted engines + Cornell showcase
-5. sweep   — packet-kernel parameter sweep (--quick)
-6. config5 — 1920x1080 spp256 chunked+checkpointed scale artifact
+1. bench    — the headline bench.py JSON (what the driver captures)
+2. meshgrad — the fixed differentiable-mesh tier (round4_timings)
+3. mesh     — packet-engine tiers, fp32 + bf16 leaf precision
+4. spectral — spectral engines incl. the bunny-scale row + Cornell
+5. profile  — in-kernel work counters + VPU dtype microbench
+6. adaptive — tol sweep x scenes with equal-time error columns
+7. config5  — 1920x1080 spp256 chunked+CHECKPOINTED scale artifact
 
 A step's stdout/stderr tails and outcome append to
-``benchmarks/battery_log_r3.md``.  Usage:
+``benchmarks/battery_log_r4.md``.  Usage:
 
     python benchmarks/tpu_battery.py [--only step[,step...]] [--skip ...]
 """
@@ -29,23 +29,22 @@ import sys
 import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-LOG = os.path.join(ROOT, "benchmarks", "battery_log_r3.md")
+LOG = os.path.join(ROOT, "benchmarks", "battery_log_r4.md")
 
 STEPS = [
-    ("smoke", [sys.executable, "benchmarks/round3_timings.py",
-               "--tier", "smoke"], 2400),
     ("bench", [sys.executable, "bench.py"], 2400),
-    ("mesh", [sys.executable, "benchmarks/round3_timings.py",
-              "--tier", "mesh"], 2400),
-    ("spectral", [sys.executable, "benchmarks/round3_timings.py",
-                  "--tier", "spectral"], 2400),
-    ("meshgrad", [sys.executable, "benchmarks/round3_timings.py",
+    ("meshgrad", [sys.executable, "benchmarks/round4_timings.py",
                   "--tier", "meshgrad"], 2400),
-    ("adaptive", [sys.executable, "benchmarks/round3_timings.py",
-                  "--tier", "adaptive"], 2400),
-    ("sweep", [sys.executable, "benchmarks/mesh_sweep.py", "--quick"], 1800),
+    ("mesh", [sys.executable, "benchmarks/round4_timings.py",
+              "--tier", "mesh"], 2400),
+    ("spectral", [sys.executable, "benchmarks/round4_timings.py",
+                  "--tier", "spectral"], 2400),
+    ("profile", [sys.executable, "benchmarks/packet_profile.py"], 2400),
+    ("adaptive", [sys.executable, "benchmarks/round4_timings.py",
+                  "--tier", "adaptive"], 3600),
     ("config5", [sys.executable, "benchmarks/config5.py", "--mode", "tpu",
-                 "--out", os.path.join(ROOT, "SCALING_r03.json")], 3600),
+                 "--checkpoint",
+                 "--out", os.path.join(ROOT, "SCALING_r04.json")], 3600),
 ]
 
 

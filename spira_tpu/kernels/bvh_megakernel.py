@@ -139,6 +139,8 @@ def make_packet_intersect(
     mxu_refs=None,
     mxu_precision=_HI,
     sid_ref=None,
+    ctr_ref=None,
+    leaf_dtype=jnp.float32,
 ):
     """Build the ``intersect_fn`` plugged into ``trace_tile``.
 
@@ -181,7 +183,8 @@ def make_packet_intersect(
             o3, d3, active, st["best_t"],
             root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
             pops_per_iter=pops_per_iter, dummy_row=dummy_row,
-            leaf_visit=leaf_visit, sid_ref=sid_ref,
+            leaf_visit=leaf_visit, sid_ref=sid_ref, ctr_ref=ctr_ref,
+            leaf_dtype=leaf_dtype,
         )
 
         # ---- resolve traversal registers into the shared hit-state shape
@@ -328,6 +331,8 @@ def run_packet_traversal(
     dummy_row: int | None = None,
     leaf_visit=None,
     sid_ref=None,
+    ctr_ref=None,
+    leaf_dtype=jnp.float32,
 ):
     """The shared packet traversal loop: runs the SMEM-stack tree walk and
     leaves (best_t, triangle normal, material id) in the scratch refs.
@@ -341,6 +346,13 @@ def run_packet_traversal(
     through ``PackedBVH.prim_map`` to the original triangle for the
     gradient-carrying hit recompute.  Only the default (row-leaf) visit
     supports it.
+
+    ``ctr_ref``: optional SMEM (4,) int32 work counters, ACCUMULATED
+    across every traversal this program runs (zero it at program start):
+    [0] pop batches (while-loop iterations), [1] leaf-child visits,
+    [2] internal-child pushes, [3] traversals entered.  Measured counts
+    over the full spp×bounce workload — the optimization scoreboard the
+    host-side primary-ray analytics could not provide.
 
     ``leaf_visit(ptr, cnt, hitm)``: optional replacement for the default
     VPU scalar-broadcast Möller–Trumbore leaf loop — the MXU superleaf
@@ -362,6 +374,20 @@ def run_packet_traversal(
     inv_dx = jnp.where(jnp.abs(dx) > 1e-12, 1.0 / dx, jnp.float32(1e12))
     inv_dy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, jnp.float32(1e12))
     inv_dz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, jnp.float32(1e12))
+    # the bf16 tier runs the slab tests at bf16 too (same statistical
+    # contract as the leaf math; a ~0.4% relative pad keeps borderline
+    # boxes from being culled by bf16 rounding)
+    slab_bf16 = leaf_dtype == jnp.bfloat16
+    if slab_bf16:
+        sxo = ox.astype(jnp.bfloat16)
+        syo = oy.astype(jnp.bfloat16)
+        szo = oz.astype(jnp.bfloat16)
+        sxi = inv_dx.astype(jnp.bfloat16)
+        syi = inv_dy.astype(jnp.bfloat16)
+        szi = inv_dz.astype(jnp.bfloat16)
+    else:
+        sxo, syo, szo = ox, oy, oz
+        sxi, syi, szi = inv_dx, inv_dy, inv_dz
 
     bt_ref[:] = best_t0
     tnx_ref[:] = jnp.zeros_like(dx)
@@ -383,64 +409,108 @@ def run_packet_traversal(
     dmz = jnp.sum(dz) * inv_n
 
     if leaf_visit is None:
+        # The leaf Möller–Trumbore loop is the measured hot spot: the
+        # round-4 in-kernel counters put leaf visits at 83-87% of total
+        # runtime at ~1.4 µs per 16-triangle visit, pure VPU-ALU-bound
+        # (benchmarks/packet_profile.py).  Three consequences shaped the
+        # code below:
+        # * NO where-guard chain around 1/det — IEEE inf/NaN propagation
+        #   makes every degenerate lane fail some hit comparison (NaN
+        #   compares false), so the guards bought nothing but ~6 vector
+        #   ops per triangle.  Hit decisions are bit-identical.
+        # * rows beyond the first are @pl.when-guarded on the leaf count
+        #   (mean occupancy is ~11.3 of 16 — ~14% of leaves fit one row).
+        # * optional bfloat16 math (``leaf_dtype``): ~1.5× VPU throughput
+        #   (measured microbench) at ~2^-8 relative precision on the hit
+        #   decisions — a statistically-equivalent, not bitwise, tier.
+        lp_bf16 = leaf_dtype == jnp.bfloat16
+        if lp_bf16:
+            oxl = ox.astype(jnp.bfloat16)
+            oyl = oy.astype(jnp.bfloat16)
+            ozl = oz.astype(jnp.bfloat16)
+            dxl = dx.astype(jnp.bfloat16)
+            dyl = dy.astype(jnp.bfloat16)
+            dzl = dz.astype(jnp.bfloat16)
+        else:
+            oxl, oyl, ozl = ox, oy, oz
+            dxl, dyl, dzl = dx, dy, dz
 
         def leaf_visit(ptr, cnt, hitm):
             cnt_i = cnt.astype(jnp.int32)
-            best_l = bt_ref[:]
-            nx_l = tnx_ref[:]
-            ny_l = tny_ref[:]
-            nz_l = tnz_ref[:]
-            mid_l = mid_ref[:]
             if sid_ref is not None:
-                sid_l = sid_ref[:]
                 base_f = (ptr * TRIS_PER_ROW).astype(jnp.float32)
-            for rr in range(rows_per_leaf):
+
+            def row_visit(rr):
                 rowv = tris_ref[pl.ds(ptr + rr, 1), :]  # (1, 128)
+                # scalar lane extracts + broadcast ops: at ~89 ns per
+                # 4096-lane triangle test the loop already runs at ~3
+                # vreg-ops/cycle (≈ fp32 VPU issue peak), so the extracts
+                # are hidden.  ((1,1)-slice broadcasts were tried instead:
+                # Mosaic has no both-axes broadcast and rejects them.)
+                # Mosaic extracts 32-bit scalars only: pull fp32 lanes and
+                # cast each scalar down for the bf16 tier.
+                if lp_bf16:
+                    ex = lambda i: rowv[0, i].astype(jnp.bfloat16)
+                else:
+                    ex = lambda i: rowv[0, i]
+                exf = lambda i: rowv[0, i]
+                best_l = bt_ref[:]
+                best_c = best_l.astype(jnp.bfloat16) if lp_bf16 else best_l
+                nx_l = tnx_ref[:]
+                ny_l = tny_ref[:]
+                nz_l = tnz_ref[:]
+                mid_l = mid_ref[:]
+                if sid_ref is not None:
+                    sid_l = sid_ref[:]
                 for j in range(TRIS_PER_ROW):
                     jj = rr * TRIS_PER_ROW + j
                     if jj >= max_leaf:
                         break
                     lane = TRI_STRIDE * j
-                    v0x = rowv[0, lane + 0]
-                    v0y = rowv[0, lane + 1]
-                    v0z = rowv[0, lane + 2]
-                    e1x = rowv[0, lane + 3]
-                    e1y = rowv[0, lane + 4]
-                    e1z = rowv[0, lane + 5]
-                    e2x = rowv[0, lane + 6]
-                    e2y = rowv[0, lane + 7]
-                    e2z = rowv[0, lane + 8]
-                    nxc = rowv[0, lane + 9]
-                    nyc = rowv[0, lane + 10]
-                    nzc = rowv[0, lane + 11]
-                    matf = rowv[0, lane + 12]
-                    # Möller–Trumbore, identical formulas to
+                    v0x = ex(lane + 0)
+                    v0y = ex(lane + 1)
+                    v0z = ex(lane + 2)
+                    e1x = ex(lane + 3)
+                    e1y = ex(lane + 4)
+                    e1z = ex(lane + 5)
+                    e2x = ex(lane + 6)
+                    e2y = ex(lane + 7)
+                    e2z = ex(lane + 8)
+                    nxc = exf(lane + 9)
+                    nyc = exf(lane + 10)
+                    nzc = exf(lane + 11)
+                    matf = exf(lane + 12)
+                    # Möller–Trumbore, same formulas as
                     # megakernel.tri_unroll (broadcast scalars)
-                    pvx = dy * e2z - dz * e2y
-                    pvy = dz * e2x - dx * e2z
-                    pvz = dx * e2y - dy * e2x
+                    pvx = dyl * e2z - dzl * e2y
+                    pvy = dzl * e2x - dxl * e2z
+                    pvz = dxl * e2y - dyl * e2x
                     det = e1x * pvx + e1y * pvy + e1z * pvz
-                    det_ok = jnp.abs(det) > 1e-12
-                    inv_det = jnp.where(
-                        det_ok, 1.0 / jnp.where(det_ok, det, 1.0), 0.0
-                    )
-                    tvx = ox - v0x
-                    tvy = oy - v0y
-                    tvz = oz - v0z
+                    inv_det = 1.0 / det  # inf/NaN lanes self-reject below
+                    tvx = oxl - v0x
+                    tvy = oyl - v0y
+                    tvz = ozl - v0z
                     uu = (
                         tvx * pvx + tvy * pvy + tvz * pvz
                     ) * inv_det
                     qvx = tvy * e1z - tvz * e1y
                     qvy = tvz * e1x - tvx * e1z
                     qvz = tvx * e1y - tvy * e1x
-                    vv = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                    vv = (dxl * qvx + dyl * qvy + dzl * qvz) * inv_det
                     tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    if lp_bf16:
+                        # v5e Mosaic has no bf16 compare: the ~40 mul/adds
+                        # above stay bf16; decisions upcast to fp32
+                        uu = uu.astype(jnp.float32)
+                        vv = vv.astype(jnp.float32)
+                        tt = tt.astype(jnp.float32)
+                        det = det.astype(jnp.float32)
                     hit_k = (
                         (jnp.abs(det) > 1e-9)
                         & (uu >= 0.0)
                         & (vv >= 0.0)
                         & (uu + vv <= 1.0)
-                        & (tt > T_MIN)
+                        & (tt > float(T_MIN))
                         & (tt < best_l)
                         & hitm
                         & (jj < cnt_i)
@@ -454,18 +524,27 @@ def run_packet_traversal(
                         sid_l = jnp.where(
                             hit_k, base_f + np.float32(jj), sid_l
                         )
-            bt_ref[:] = best_l
-            tnx_ref[:] = nx_l
-            tny_ref[:] = ny_l
-            tnz_ref[:] = nz_l
-            mid_ref[:] = mid_l
-            if sid_ref is not None:
-                sid_ref[:] = sid_l
+                bt_ref[:] = best_l
+                tnx_ref[:] = nx_l
+                tny_ref[:] = ny_l
+                tnz_ref[:] = nz_l
+                mid_ref[:] = mid_l
+                if sid_ref is not None:
+                    sid_ref[:] = sid_l
+
+            row_visit(0)
+            for rr in range(1, rows_per_leaf):
+
+                @pl.when(cnt_i > rr * TRIS_PER_ROW)
+                def _row(rr=rr):
+                    row_visit(rr)
 
     activef = active.astype(jnp.float32)
     stack_ref[0] = np.int32(root)
     # a packet with no live lanes skips traversal entirely
     sp0 = jnp.where(jnp.any(active), 1, 0).astype(jnp.int32)
+    if ctr_ref is not None:
+        ctr_ref[3] = ctr_ref[3] + sp0
 
     def cond(sp):
         return sp > 0
@@ -502,21 +581,38 @@ def run_packet_traversal(
                 hiz = rec[0, b + 5]
                 ptr = rec[0, b + 6].astype(jnp.int32)
                 cnt = rec[0, b + 7]
-                t0 = (lox - ox) * inv_dx
-                t1 = (hix - ox) * inv_dx
+                if slab_bf16:
+                    cb = lambda v: v.astype(jnp.bfloat16)
+                    lxc, lyc, lzc = cb(lox), cb(loy), cb(loz)
+                    hxc, hyc, hzc = cb(hix), cb(hiy), cb(hiz)
+                else:
+                    lxc, lyc, lzc = lox, loy, loz
+                    hxc, hyc, hzc = hix, hiy, hiz
+                    bestc = best
+                t0 = (lxc - sxo) * sxi
+                t1 = (hxc - sxo) * sxi
                 tn = jnp.minimum(t0, t1)
                 tf = jnp.maximum(t0, t1)
-                t0 = (loy - oy) * inv_dy
-                t1 = (hiy - oy) * inv_dy
+                t0 = (lyc - syo) * syi
+                t1 = (hyc - syo) * syi
                 tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                 tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-                t0 = (loz - oz) * inv_dz
-                t1 = (hiz - oz) * inv_dz
+                t0 = (lzc - szo) * szi
+                t1 = (hzc - szo) * szi
                 tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                 tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-                hitm = (
-                    jnp.maximum(tn, 0.0) <= jnp.minimum(tf, best)
-                ) & (cnt > -0.5)
+                if slab_bf16:
+                    # no bf16 compare on v5e: upcast the two reduced
+                    # values; ~0.4% pad covers bf16 rounding of tn/tf
+                    hitm = (
+                        jnp.maximum(tn.astype(jnp.float32), 0.0)
+                        <= jnp.minimum(tf.astype(jnp.float32), best)
+                        * 1.004 + 0.001
+                    ) & (cnt > -0.5)
+                else:
+                    hitm = (
+                        jnp.maximum(tn, 0.0) <= jnp.minimum(tf, bestc)
+                    ) & (cnt > -0.5)
                 hits.append(hitm)
                 ents.append((ptr, cnt))
                 prjs.append(
@@ -560,6 +656,15 @@ def run_packet_traversal(
                 ((bits >> j) & 1) > 0 for j in range(2 * K)
             )
 
+        if ctr_ref is not None:
+            ctr_ref[0] = ctr_ref[0] + 1
+            n_leaf = jnp.int32(0)
+            for half in range(2 * K):
+                n_leaf = n_leaf + (
+                    anyhits[half] & (ents[half][1] > 0.5)
+                ).astype(jnp.int32)
+            ctr_ref[1] = ctr_ref[1] + n_leaf
+
         for half in range(2 * K):
             ptr, cnt = ents[half]
             hitm = hits[half] & active
@@ -585,6 +690,11 @@ def run_packet_traversal(
             sp = sp + far_push.astype(jnp.int32)
             stack_ref[jnp.where(near_push, sp, _DISCARD)] = near_ptr
             sp = sp + near_push.astype(jnp.int32)
+            if ctr_ref is not None:
+                ctr_ref[2] = (
+                    ctr_ref[2] + far_push.astype(jnp.int32)
+                    + near_push.astype(jnp.int32)
+                )
         return sp
 
     jax.lax.while_loop(cond, body, sp0)
@@ -595,7 +705,16 @@ def _kernel(
     spp, max_depth, width, height, n_spheres, n_mats, root,
     rows_per_leaf, max_leaf, inclusive_uv, tile_h, pops_per_iter, dummy_row,
     has_lens=False, normalize=True, use_mxu=False, mxu_precision="highest",
+    counters=False, leaf_precision="fp32",
 ):
+    ctr_ref = out_ctr = None
+    if counters:
+        if use_mxu:
+            raise ValueError("counters mode supports the row engine only")
+        # arg order: inputs..., outputs (rgb + ctr), scratch (.. + ctr)
+        *rest, ctr_ref = rest
+        rest = list(rest)
+        out_ctr = rest.pop(4)  # after (tris, out_r, out_g, out_b)
     if use_mxu:
         (cuv_ref, ct_ref, cpay_ref, out_r, out_g, out_b,
          stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref) = rest
@@ -605,6 +724,9 @@ def _kernel(
         (tris_ref, out_r, out_g, out_b,
          stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref) = rest
         mxu_refs = None
+    if ctr_ref is not None:
+        for k in range(4):
+            ctr_ref[k] = jnp.int32(0)
     i = pl.program_id(0)
     j = pl.program_id(1)
     # off_ref = (row_start, sample_offset): nonzero under row-range /
@@ -631,6 +753,10 @@ def _kernel(
         pops_per_iter=pops_per_iter, dummy_row=dummy_row,
         mxu_refs=mxu_refs,
         mxu_precision=jax.lax.Precision(mxu_precision),
+        ctr_ref=ctr_ref,
+        leaf_dtype=(
+            jnp.bfloat16 if leaf_precision == "bf16" else jnp.float32
+        ),
     )
     r, g, b = mk.trace_tile(
         (row * width + col).astype(jnp.uint32),
@@ -652,6 +778,14 @@ def _kernel(
     out_r[:] = r * inv
     out_g[:] = g * inv
     out_b[:] = b * inv
+    if out_ctr is not None:
+        # counters land in lanes 0-3 of each tile's first row
+        lane = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1)
+        srow = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0)
+        vals = jnp.zeros((tile_h, TILE_W), jnp.int32)
+        for k in range(4):
+            vals = jnp.where((srow == 0) & (lane == k), ctr_ref[k], vals)
+        out_ctr[:] = vals
 
 
 def _intersect_only_kernel(
@@ -792,14 +926,15 @@ def pack_materials_jnp(materials):
     static_argnames=(
         "width", "height", "spp", "max_depth", "n_spheres", "n_mats",
         "inclusive_uv", "interpret", "tile_h", "pops_per_iter",
-        "n_rows", "normalize", "mxu_leaf", "mxu_precision",
+        "n_rows", "normalize", "mxu_leaf", "mxu_precision", "counters",
+        "leaf_precision",
     ),
 )
 def _launch(
     seed_arr, off_arr, scene, camera, *, width, height, spp, max_depth,
     n_spheres, n_mats, inclusive_uv, interpret, tile_h=TILE_H,
     pops_per_iter=1, n_rows=None, normalize=True, mxu_leaf=False,
-    mxu_precision="highest",
+    mxu_precision="highest", counters=False, leaf_precision="fp32",
 ):
     if mxu_leaf:
         # pair-record tree whose leaves are Plücker superleaf blocks
@@ -839,7 +974,8 @@ def _launch(
         inclusive_uv=inclusive_uv, tile_h=tile_h,
         pops_per_iter=pops_per_iter, dummy_row=packed.pairs.shape[0],
         has_lens=camera.has_lens, normalize=normalize, use_mxu=mxu_leaf,
-        mxu_precision=mxu_precision,
+        mxu_precision=mxu_precision, counters=counters,
+        leaf_precision=leaf_precision,
     )
     # under shard_map the outputs vary across the mesh axes the inputs do;
     # jax requires that declared on the out ShapeDtypeStructs (vma)
@@ -868,10 +1004,21 @@ def _launch(
     full = lambda a: pl.BlockSpec(
         a.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM
     )
+    out_shapes = (out_shape, out_shape, out_shape)
+    out_specs = (block, block, block)
+    scratch = traversal_scratch_shapes(tile_h)
+    if counters:
+        ctr_shape = (
+            jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32, vma=vma)
+            if vma else jax.ShapeDtypeStruct((h_pad, w_pad), jnp.int32)
+        )
+        out_shapes = out_shapes + (ctr_shape,)
+        out_specs = out_specs + (block,)
+        scratch = scratch + [pltpu.SMEM((4,), jnp.int32)]
     return pl.pallas_call(
         kernel,
         grid=(grid_h, grid_w),
-        out_shape=(out_shape, out_shape, out_shape),
+        out_shape=out_shapes,
         in_specs=[
             smem,  # seed
             smem,  # (row_start, sample_offset)
@@ -881,8 +1028,8 @@ def _launch(
             full(pairs),
         ]
         + [full(t) for t in tables],
-        out_specs=(block, block, block),
-        scratch_shapes=traversal_scratch_shapes(tile_h),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
         compiler_params=params,
         interpret=interpret,
     )(seed_arr, off_arr, cam_arr, mat_arr, sph_arr, pairs, *tables)
@@ -905,6 +1052,7 @@ def bvh_rows(
     tile_h: int = 32,
     pops_per_iter: int | None = None,
     mxu_leaf: bool = False,
+    leaf_precision: str = "fp32",
 ):
     """Packet-BVH tracer over a row-range — the shard body of the
     tile/spp-sharded mesh renderer (the packet twin of
@@ -943,6 +1091,7 @@ def bvh_rows(
         n_rows=n_rows,
         normalize=False,
         mxu_leaf=mxu_leaf,
+        leaf_precision=leaf_precision,
     )
     return mk._crop_flat(r, g, b, width, n_rows)
 
@@ -981,6 +1130,7 @@ def render_flat_bvh_megakernel(
     pops_per_iter: int | None = None,
     mxu_leaf: bool = False,
     mxu_precision: str = "highest",
+    leaf_precision: str = "fp32",
 ):
     """Pallas packet-BVH render → flat (H*W, 3) bottom-up HDR buffer.
 
@@ -1030,8 +1180,63 @@ def render_flat_bvh_megakernel(
         pops_per_iter=pops_per_iter,
         mxu_leaf=mxu_leaf,
         mxu_precision=mxu_precision,
+        leaf_precision=leaf_precision,
     )
     return mk._crop_flat(r, g, b, width, height)
+
+
+def render_bvh_with_counters(
+    scene,
+    camera,
+    *,
+    width: int,
+    height: int,
+    spp: int = 16,
+    max_depth: int = 4,
+    seed: int = 0,
+    inclusive_uv: bool = True,
+    interpret: bool = False,
+    tile_h: int = 32,
+    pops_per_iter: int | None = None,
+):
+    """The packet render plus its measured work counters.
+
+    Returns ``(flat_rgb, counters)`` where counters is a dict of totals
+    over the whole dispatch (all tiles × spp × bounces): ``pop_batches``,
+    ``leaf_visits``, ``pushes``, ``traversals``.  The optimization
+    scoreboard for the mesh-throughput work: with per-op costs, time ≈
+    pop_batches·c_pop + leaf_visits·c_leaf, fit across scenes/configs.
+    Counter collection adds only scalar-unit work (a few SMEM adds per
+    pop batch); throughput impact is ~noise, but use the plain entry
+    point for benchmarking numbers.
+    """
+    tree = _require_tree(scene, False)
+    if pops_per_iter is None:
+        pops_per_iter = 8 if tree.pairs.shape[0] >= 512 else 1
+    r, g, b, ctr = _launch(
+        jnp.asarray([[seed]], jnp.int32),
+        jnp.zeros((1, 2), jnp.int32),
+        scene,
+        camera,
+        width=width,
+        height=height,
+        spp=spp,
+        max_depth=max_depth,
+        n_spheres=scene.spheres.count,
+        n_mats=scene.materials.count,
+        inclusive_uv=inclusive_uv,
+        interpret=interpret,
+        tile_h=tile_h,
+        pops_per_iter=pops_per_iter,
+        counters=True,
+    )
+    c = np.asarray(ctr)
+    names = ("pop_batches", "leaf_visits", "pushes", "traversals")
+    totals = {
+        name: int(c[::tile_h, k::TILE_W].sum())
+        for k, name in enumerate(names)
+    }
+    return mk._crop_flat(r, g, b, width, height), totals
 
 
 @functools.lru_cache(maxsize=32)
