@@ -80,6 +80,14 @@ def _check_stack_depth(depth: int, pops_per_iter: int) -> None:
     depth-D chain can hold up to 2K pending entries per level, so
     2*K*D (+K transient) bounds occupancy.  Overflow would silently
     corrupt traversal through the shared _DISCARD slot."""
+    if pops_per_iter > 16:
+        # the any-hit OR-tree packs 2K bit planes into ONE int32
+        # (hits[j] << j, j < 2K): K=32 shifts past bit 31 and silently
+        # corrupts traversal (observed: image mean drift on v5e)
+        raise ValueError(
+            f"pops_per_iter={pops_per_iter} exceeds the 16-pop limit of "
+            "the int32 any-hit bitmask reduce"
+        )
     if 2 * pops_per_iter * depth + pops_per_iter >= STACK_SIZE:
         raise ValueError(
             f"packed BVH depth {depth} with pops_per_iter={pops_per_iter} "
@@ -141,6 +149,8 @@ def make_packet_intersect(
     sid_ref=None,
     ctr_ref=None,
     leaf_dtype=jnp.float32,
+    leaf_broadcast="extract",
+    leaf_gate=False,
 ):
     """Build the ``intersect_fn`` plugged into ``trace_tile``.
 
@@ -184,7 +194,8 @@ def make_packet_intersect(
             root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
             pops_per_iter=pops_per_iter, dummy_row=dummy_row,
             leaf_visit=leaf_visit, sid_ref=sid_ref, ctr_ref=ctr_ref,
-            leaf_dtype=leaf_dtype,
+            leaf_dtype=leaf_dtype, leaf_broadcast=leaf_broadcast,
+            leaf_gate=leaf_gate,
         )
 
         # ---- resolve traversal registers into the shared hit-state shape
@@ -333,6 +344,8 @@ def run_packet_traversal(
     sid_ref=None,
     ctr_ref=None,
     leaf_dtype=jnp.float32,
+    leaf_broadcast="extract",
+    leaf_gate=False,
 ):
     """The shared packet traversal loop: runs the SMEM-stack tree walk and
     leaves (best_t, triangle normal, material id) in the scratch refs.
@@ -347,7 +360,7 @@ def run_packet_traversal(
     gradient-carrying hit recompute.  Only the default (row-leaf) visit
     supports it.
 
-    ``ctr_ref``: optional SMEM (4,) int32 work counters, ACCUMULATED
+    ``ctr_ref``: optional SMEM (6,) int32 work counters, ACCUMULATED
     across every traversal this program runs (zero it at program start):
     [0] pop batches (while-loop iterations), [1] leaf-child visits,
     [2] internal-child pushes, [3] traversals entered.  Measured counts
@@ -411,19 +424,32 @@ def run_packet_traversal(
     if leaf_visit is None:
         # The leaf Möller–Trumbore loop is the measured hot spot: the
         # round-4 in-kernel counters put leaf visits at 83-87% of total
-        # runtime at ~1.4 µs per 16-triangle visit, pure VPU-ALU-bound
-        # (benchmarks/packet_profile.py).  Three consequences shaped the
-        # code below:
+        # runtime at ~1.4 µs per 16-triangle visit
+        # (benchmarks/packet_profile.py), and the saturated unit is the
+        # SCALAR core: 13 vector→scalar lane extracts per triangle (208
+        # per visit) to build the broadcast constants.  Consequences:
+        # * ``leaf_broadcast="matmul"`` (measured LOSER, kept for A/B):
+        #   ONE MXU outer product per row (rowvᵀ ⊗ ones) materializes
+        #   every constant as a sublane of a (128,128) block — constants
+        #   become (1,128) slices and the scalar core never touches them.
+        #   Bitwise-identical images (×1.0 under Precision.HIGHEST is
+        #   exact), but 17-20% SLOWER on v5e at every tier (63.6 vs 76.4
+        #   @1.6k, 30.4 vs 36.3 @5.4k, 15.4 vs 18.7 bunny): the per-use
+        #   (1,128)→(32,128) sublane-broadcast ops plus the 6-pass MXU
+        #   latency cost more than the extracts they replace.  (A direct
+        #   (1,1)→(32,128) broadcast is rejected by Mosaic — "Broadcast
+        #   in both sublanes and lanes".)
         # * NO where-guard chain around 1/det — IEEE inf/NaN propagation
         #   makes every degenerate lane fail some hit comparison (NaN
         #   compares false), so the guards bought nothing but ~6 vector
         #   ops per triangle.  Hit decisions are bit-identical.
         # * rows beyond the first are @pl.when-guarded on the leaf count
         #   (mean occupancy is ~11.3 of 16 — ~14% of leaves fit one row).
-        # * optional bfloat16 math (``leaf_dtype``): ~1.5× VPU throughput
-        #   (measured microbench) at ~2^-8 relative precision on the hit
-        #   decisions — a statistically-equivalent, not bitwise, tier.
+        # * optional bfloat16 math (``leaf_dtype``): measured 2× SLOWER
+        #   under "extract" (doubled scalar work); kept as a flag.
         lp_bf16 = leaf_dtype == jnp.bfloat16
+        lb_matmul = leaf_broadcast == "matmul"
+        ones_row = jnp.ones((1, TILE_W), jnp.float32)
         if lp_bf16:
             oxl = ox.astype(jnp.bfloat16)
             oyl = oy.astype(jnp.bfloat16)
@@ -435,102 +461,159 @@ def run_packet_traversal(
             oxl, oyl, ozl = ox, oy, oz
             dxl, dyl, dzl = dx, dy, dz
 
+        tile_h_l = ox.shape[0]
+        n_blk = tile_h_l // 8 if leaf_gate else 1
+        if n_blk > 1:
+            # Block gating strided-slices these values.  On the primary
+            # bounce the ray origin is a BROADCAST of the camera-origin
+            # scalar, so Mosaic assigns it a replicated layout — and
+            # vector_extract_strided_slice on a replicated vreg array
+            # SIGABRTs the compiler (Array::Slice "limits 2 vs dim 1",
+            # bisected round 4).  Adding inv_dx*0.0 forces a concrete
+            # per-lane layout: inv_dx is where-clamped finite, and IEEE
+            # (x may be NaN) forbids the compiler folding x*0 away.
+            zmix = (inv_dx * 0.0).astype(leaf_dtype)
+            oxl = oxl + zmix
+            oyl = oyl + zmix
+            ozl = ozl + zmix
+            dxl = dxl + zmix
+            dyl = dyl + zmix
+            dzl = dzl + zmix
+
         def leaf_visit(ptr, cnt, hitm):
             cnt_i = cnt.astype(jnp.int32)
             if sid_ref is not None:
                 base_f = (ptr * TRIS_PER_ROW).astype(jnp.float32)
+            # Mosaic cannot strided-slice i1 vectors (Array::Slice check
+            # fails in vector_extract_strided_slice): in gated mode the
+            # mask crosses the block boundary as float32 and each block
+            # re-compares.  Bit-identical decisions (0.0/1.0 exact).
+            hitf = hitm.astype(jnp.float32) if n_blk > 1 else None
 
             def row_visit(rr):
                 rowv = tris_ref[pl.ds(ptr + rr, 1), :]  # (1, 128)
-                # scalar lane extracts + broadcast ops: at ~89 ns per
-                # 4096-lane triangle test the loop already runs at ~3
-                # vreg-ops/cycle (≈ fp32 VPU issue peak), so the extracts
-                # are hidden.  ((1,1)-slice broadcasts were tried instead:
-                # Mosaic has no both-axes broadcast and rejects them.)
-                # Mosaic extracts 32-bit scalars only: pull fp32 lanes and
-                # cast each scalar down for the bf16 tier.
-                if lp_bf16:
+                if lb_matmul:
+                    # cb[k, :] == rowv[0, k]: transpose + lane-broadcast
+                    # fused into one K=1 outer product on the MXU
+                    cb = jax.lax.dot_general(
+                        rowv, ones_row,
+                        (((0,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )  # (128, 128)
+                    cbl = cb.astype(jnp.bfloat16) if lp_bf16 else cb
+                    ex = lambda i: cbl[i:i + 1, :]
+                    exf = lambda i: cb[i:i + 1, :]
+                elif lp_bf16:
+                    # Mosaic extracts 32-bit scalars only: pull fp32
+                    # lanes and cast each scalar down for the bf16 tier.
                     ex = lambda i: rowv[0, i].astype(jnp.bfloat16)
+                    exf = lambda i: rowv[0, i]
                 else:
                     ex = lambda i: rowv[0, i]
-                exf = lambda i: rowv[0, i]
-                best_l = bt_ref[:]
-                best_c = best_l.astype(jnp.bfloat16) if lp_bf16 else best_l
-                nx_l = tnx_ref[:]
-                ny_l = tny_ref[:]
-                nz_l = tnz_ref[:]
-                mid_l = mid_ref[:]
-                if sid_ref is not None:
-                    sid_l = sid_ref[:]
+                    exf = lambda i: rowv[0, i]
+                # constants hoisted ONCE per row (scalar-core work is
+                # per-row, not per-block)
+                consts = []
                 for j in range(TRIS_PER_ROW):
                     jj = rr * TRIS_PER_ROW + j
                     if jj >= max_leaf:
                         break
                     lane = TRI_STRIDE * j
-                    v0x = ex(lane + 0)
-                    v0y = ex(lane + 1)
-                    v0z = ex(lane + 2)
-                    e1x = ex(lane + 3)
-                    e1y = ex(lane + 4)
-                    e1z = ex(lane + 5)
-                    e2x = ex(lane + 6)
-                    e2y = ex(lane + 7)
-                    e2z = ex(lane + 8)
-                    nxc = exf(lane + 9)
-                    nyc = exf(lane + 10)
-                    nzc = exf(lane + 11)
-                    matf = exf(lane + 12)
-                    # Möller–Trumbore, same formulas as
-                    # megakernel.tri_unroll (broadcast scalars)
-                    pvx = dyl * e2z - dzl * e2y
-                    pvy = dzl * e2x - dxl * e2z
-                    pvz = dxl * e2y - dyl * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    inv_det = 1.0 / det  # inf/NaN lanes self-reject below
-                    tvx = oxl - v0x
-                    tvy = oyl - v0y
-                    tvz = ozl - v0z
-                    uu = (
-                        tvx * pvx + tvy * pvy + tvz * pvz
-                    ) * inv_det
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    vv = (dxl * qvx + dyl * qvy + dzl * qvz) * inv_det
-                    tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    if lp_bf16:
-                        # v5e Mosaic has no bf16 compare: the ~40 mul/adds
-                        # above stay bf16; decisions upcast to fp32
-                        uu = uu.astype(jnp.float32)
-                        vv = vv.astype(jnp.float32)
-                        tt = tt.astype(jnp.float32)
-                        det = det.astype(jnp.float32)
-                    hit_k = (
-                        (jnp.abs(det) > 1e-9)
-                        & (uu >= 0.0)
-                        & (vv >= 0.0)
-                        & (uu + vv <= 1.0)
-                        & (tt > float(T_MIN))
-                        & (tt < best_l)
-                        & hitm
-                        & (jj < cnt_i)
-                    )
-                    best_l = jnp.where(hit_k, tt, best_l)
-                    nx_l = jnp.where(hit_k, nxc, nx_l)
-                    ny_l = jnp.where(hit_k, nyc, ny_l)
-                    nz_l = jnp.where(hit_k, nzc, nz_l)
-                    mid_l = jnp.where(hit_k, matf, mid_l)
+                    consts.append((
+                        jj,
+                        tuple(ex(lane + k) for k in range(9)),
+                        tuple(exf(lane + k) for k in range(9, 13)),
+                    ))
+
+                def block_visit(sl):
+                    hit_t = hitm if sl == slice(None) else hitf[sl] > 0.0
+                    oxb, oyb, ozb = oxl[sl], oyl[sl], ozl[sl]
+                    dxb, dyb, dzb = dxl[sl], dyl[sl], dzl[sl]
+                    best_l = bt_ref[sl]
+                    nx_l = tnx_ref[sl]
+                    ny_l = tny_ref[sl]
+                    nz_l = tnz_ref[sl]
+                    mid_l = mid_ref[sl]
                     if sid_ref is not None:
-                        sid_l = jnp.where(
-                            hit_k, base_f + np.float32(jj), sid_l
+                        sid_l = sid_ref[sl]
+                    for jj, geo, pay in consts:
+                        (v0x, v0y, v0z, e1x, e1y, e1z,
+                         e2x, e2y, e2z) = geo
+                        nxc, nyc, nzc, matf = pay
+                        # Möller–Trumbore, same formulas as
+                        # megakernel.tri_unroll (broadcast scalars)
+                        pvx = dyb * e2z - dzb * e2y
+                        pvy = dzb * e2x - dxb * e2z
+                        pvz = dxb * e2y - dyb * e2x
+                        det = e1x * pvx + e1y * pvy + e1z * pvz
+                        # inf/NaN lanes self-reject below
+                        inv_det = 1.0 / det
+                        tvx = oxb - v0x
+                        tvy = oyb - v0y
+                        tvz = ozb - v0z
+                        uu = (
+                            tvx * pvx + tvy * pvy + tvz * pvz
+                        ) * inv_det
+                        qvx = tvy * e1z - tvz * e1y
+                        qvy = tvz * e1x - tvx * e1z
+                        qvz = tvx * e1y - tvy * e1x
+                        vv = (dxb * qvx + dyb * qvy + dzb * qvz) * inv_det
+                        tt = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                        if lp_bf16:
+                            # v5e Mosaic has no bf16 compare: the mul/adds
+                            # above stay bf16; decisions upcast to fp32
+                            uu = uu.astype(jnp.float32)
+                            vv = vv.astype(jnp.float32)
+                            tt = tt.astype(jnp.float32)
+                            det = det.astype(jnp.float32)
+                        hit_k = (
+                            (jnp.abs(det) > 1e-9)
+                            & (uu >= 0.0)
+                            & (vv >= 0.0)
+                            & (uu + vv <= 1.0)
+                            & (tt > float(T_MIN))
+                            & (tt < best_l)
+                            & hit_t
+                            & (jj < cnt_i)
                         )
-                bt_ref[:] = best_l
-                tnx_ref[:] = nx_l
-                tny_ref[:] = ny_l
-                tnz_ref[:] = nz_l
-                mid_ref[:] = mid_l
-                if sid_ref is not None:
-                    sid_ref[:] = sid_l
+                        best_l = jnp.where(hit_k, tt, best_l)
+                        nx_l = jnp.where(hit_k, nxc, nx_l)
+                        ny_l = jnp.where(hit_k, nyc, ny_l)
+                        nz_l = jnp.where(hit_k, nzc, nz_l)
+                        mid_l = jnp.where(hit_k, matf, mid_l)
+                        if sid_ref is not None:
+                            sid_l = jnp.where(
+                                hit_k, base_f + np.float32(jj), sid_l
+                            )
+                    bt_ref[sl] = best_l
+                    tnx_ref[sl] = nx_l
+                    tny_ref[sl] = ny_l
+                    tnz_ref[sl] = nz_l
+                    mid_ref[sl] = mid_l
+                    if sid_ref is not None:
+                        sid_ref[sl] = sid_l
+
+                if n_blk == 1:
+                    block_visit(slice(None))
+                else:
+                    # sub-packet gating: an (8,128) vreg row whose lanes
+                    # all missed the child box skips the whole tri loop
+                    # (bounce rays diverge — a large fraction of blocks
+                    # are dead by depth 2+).  Inactive blocks would be
+                    # no-ops anyway (hit_k all-false), so images are
+                    # bit-identical with gating on or off.
+                    for b in range(n_blk):
+                        blk = slice(b * 8, b * 8 + 8)
+                        any_b = jnp.max(hitf[blk]) > 0.0
+                        if ctr_ref is not None:
+                            ctr_ref[4] = ctr_ref[4] + any_b.astype(
+                                jnp.int32)
+                            ctr_ref[5] = ctr_ref[5] + 1
+
+                        @pl.when(any_b)
+                        def _blk(blk=blk):
+                            block_visit(blk)
 
             row_visit(0)
             for rr in range(1, rows_per_leaf):
@@ -705,7 +788,8 @@ def _kernel(
     spp, max_depth, width, height, n_spheres, n_mats, root,
     rows_per_leaf, max_leaf, inclusive_uv, tile_h, pops_per_iter, dummy_row,
     has_lens=False, normalize=True, use_mxu=False, mxu_precision="highest",
-    counters=False, leaf_precision="fp32",
+    counters=False, leaf_precision="fp32", leaf_broadcast="extract",
+    leaf_gate=False,
 ):
     ctr_ref = out_ctr = None
     if counters:
@@ -725,7 +809,7 @@ def _kernel(
          stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref) = rest
         mxu_refs = None
     if ctr_ref is not None:
-        for k in range(4):
+        for k in range(6):
             ctr_ref[k] = jnp.int32(0)
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -757,6 +841,8 @@ def _kernel(
         leaf_dtype=(
             jnp.bfloat16 if leaf_precision == "bf16" else jnp.float32
         ),
+        leaf_broadcast=leaf_broadcast,
+        leaf_gate=leaf_gate,
     )
     r, g, b = mk.trace_tile(
         (row * width + col).astype(jnp.uint32),
@@ -783,7 +869,7 @@ def _kernel(
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1)
         srow = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0)
         vals = jnp.zeros((tile_h, TILE_W), jnp.int32)
-        for k in range(4):
+        for k in range(6):
             vals = jnp.where((srow == 0) & (lane == k), ctr_ref[k], vals)
         out_ctr[:] = vals
 
@@ -927,7 +1013,7 @@ def pack_materials_jnp(materials):
         "width", "height", "spp", "max_depth", "n_spheres", "n_mats",
         "inclusive_uv", "interpret", "tile_h", "pops_per_iter",
         "n_rows", "normalize", "mxu_leaf", "mxu_precision", "counters",
-        "leaf_precision",
+        "leaf_precision", "leaf_broadcast", "leaf_gate",
     ),
 )
 def _launch(
@@ -935,6 +1021,7 @@ def _launch(
     n_spheres, n_mats, inclusive_uv, interpret, tile_h=TILE_H,
     pops_per_iter=1, n_rows=None, normalize=True, mxu_leaf=False,
     mxu_precision="highest", counters=False, leaf_precision="fp32",
+    leaf_broadcast="extract", leaf_gate=False,
 ):
     if mxu_leaf:
         # pair-record tree whose leaves are Plücker superleaf blocks
@@ -975,7 +1062,8 @@ def _launch(
         pops_per_iter=pops_per_iter, dummy_row=packed.pairs.shape[0],
         has_lens=camera.has_lens, normalize=normalize, use_mxu=mxu_leaf,
         mxu_precision=mxu_precision, counters=counters,
-        leaf_precision=leaf_precision,
+        leaf_precision=leaf_precision, leaf_broadcast=leaf_broadcast,
+        leaf_gate=leaf_gate,
     )
     # under shard_map the outputs vary across the mesh axes the inputs do;
     # jax requires that declared on the out ShapeDtypeStructs (vma)
@@ -1014,7 +1102,7 @@ def _launch(
         )
         out_shapes = out_shapes + (ctr_shape,)
         out_specs = out_specs + (block,)
-        scratch = scratch + [pltpu.SMEM((4,), jnp.int32)]
+        scratch = scratch + [pltpu.SMEM((6,), jnp.int32)]
     return pl.pallas_call(
         kernel,
         grid=(grid_h, grid_w),
@@ -1053,6 +1141,8 @@ def bvh_rows(
     pops_per_iter: int | None = None,
     mxu_leaf: bool = False,
     leaf_precision: str = "fp32",
+    leaf_broadcast: str = "extract",
+    leaf_gate: bool = False,
 ):
     """Packet-BVH tracer over a row-range — the shard body of the
     tile/spp-sharded mesh renderer (the packet twin of
@@ -1064,7 +1154,12 @@ def bvh_rows(
     """
     tree = _require_tree(scene, mxu_leaf)
     if pops_per_iter is None:
-        pops_per_iter = 8 if tree.pairs.shape[0] >= 512 else 1
+        n_pairs = tree.pairs.shape[0]
+        # v5e sweep: deep trees amortize the vector->scalar pop readback
+        # over more children (bunny leaf=8: K=16 673 ms, K=8 713, K=4 850);
+        # K=32 overflows real stacks and tripped a correctness cliff.
+        pops_per_iter = 16 if n_pairs >= 4096 else (
+            8 if n_pairs >= 512 else 1)
     # don't pad a short shard up to a tall packet: pick the smallest legal
     # packet height covering n_rows (values are tile_h-invariant)
     while tile_h > 8 and tile_h // 2 >= n_rows:
@@ -1092,6 +1187,8 @@ def bvh_rows(
         normalize=False,
         mxu_leaf=mxu_leaf,
         leaf_precision=leaf_precision,
+        leaf_broadcast=leaf_broadcast,
+        leaf_gate=leaf_gate,
     )
     return mk._crop_flat(r, g, b, width, n_rows)
 
@@ -1131,6 +1228,8 @@ def render_flat_bvh_megakernel(
     mxu_leaf: bool = False,
     mxu_precision: str = "highest",
     leaf_precision: str = "fp32",
+    leaf_broadcast: str = "extract",
+    leaf_gate: bool = False,
 ):
     """Pallas packet-BVH render → flat (H*W, 3) bottom-up HDR buffer.
 
@@ -1162,7 +1261,12 @@ def render_flat_bvh_megakernel(
     if pops_per_iter is None:
         # measured on v5e at tile_h=32: batched pops are neutral on shallow
         # trees (~200 pair records) and +9-17% on deep ones (5.4k-73k tris)
-        pops_per_iter = 8 if tree.pairs.shape[0] >= 512 else 1
+        n_pairs = tree.pairs.shape[0]
+        # v5e sweep: deep trees amortize the vector->scalar pop readback
+        # over more children (bunny leaf=8: K=16 673 ms, K=8 713, K=4 850);
+        # K=32 overflows real stacks and tripped a correctness cliff.
+        pops_per_iter = 16 if n_pairs >= 4096 else (
+            8 if n_pairs >= 512 else 1)
     r, g, b = _launch(
         jnp.asarray([[seed]], jnp.int32),
         jnp.zeros((1, 2), jnp.int32),
@@ -1181,6 +1285,8 @@ def render_flat_bvh_megakernel(
         mxu_leaf=mxu_leaf,
         mxu_precision=mxu_precision,
         leaf_precision=leaf_precision,
+        leaf_broadcast=leaf_broadcast,
+        leaf_gate=leaf_gate,
     )
     return mk._crop_flat(r, g, b, width, height)
 
@@ -1198,6 +1304,7 @@ def render_bvh_with_counters(
     interpret: bool = False,
     tile_h: int = 32,
     pops_per_iter: int | None = None,
+    leaf_gate: bool = False,
 ):
     """The packet render plus its measured work counters.
 
@@ -1212,7 +1319,12 @@ def render_bvh_with_counters(
     """
     tree = _require_tree(scene, False)
     if pops_per_iter is None:
-        pops_per_iter = 8 if tree.pairs.shape[0] >= 512 else 1
+        n_pairs = tree.pairs.shape[0]
+        # v5e sweep: deep trees amortize the vector->scalar pop readback
+        # over more children (bunny leaf=8: K=16 673 ms, K=8 713, K=4 850);
+        # K=32 overflows real stacks and tripped a correctness cliff.
+        pops_per_iter = 16 if n_pairs >= 4096 else (
+            8 if n_pairs >= 512 else 1)
     r, g, b, ctr = _launch(
         jnp.asarray([[seed]], jnp.int32),
         jnp.zeros((1, 2), jnp.int32),
@@ -1229,9 +1341,11 @@ def render_bvh_with_counters(
         tile_h=tile_h,
         pops_per_iter=pops_per_iter,
         counters=True,
+        leaf_gate=leaf_gate,
     )
     c = np.asarray(ctr)
-    names = ("pop_batches", "leaf_visits", "pushes", "traversals")
+    names = ("pop_batches", "leaf_visits", "pushes", "traversals",
+             "leaf_blocks_run", "leaf_blocks_total")
     totals = {
         name: int(c[::tile_h, k::TILE_W].sum())
         for k, name in enumerate(names)

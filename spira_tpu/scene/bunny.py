@@ -111,7 +111,7 @@ def create_bunny_scene(
     obj_path: str | None = None,
     *,
     allow_download: bool = True,
-    leaf_size: int = 16,  # v5e-measured optimum for the packet megakernel
+    leaf_size: int = 8,  # v5e round-4 optimum (22.4 vs 18.7 Mrays/s at 16)
     pack: bool = True,
 ):
     """Config-3 scene: the bunny (real OBJ when available, else the

@@ -282,3 +282,42 @@ def test_mxu_leaf_engine_matches_packet_engine():
     )
     assert np.isfinite(img_mxu).all()
     np.testing.assert_allclose(img_mxu, img_ref, atol=1e-4)
+
+
+def test_leaf_broadcast_matmul_bitwise_matches_extract():
+    """The A/B'd constant-broadcast strategies (scalar lane extracts vs
+    the MXU outer-product transpose; see the leaf-visit comment in
+    bvh_megakernel.py) must stay BIT-identical — the matmul path
+    reconstructs each fp32 constant exactly via x*1.0 at
+    Precision.HIGHEST.  Measured on v5e: matmul is 17-20% slower, so
+    "extract" is the default; this pins the equivalence so the loser
+    stays a valid A/B baseline."""
+    scene = attach_packed(create_mesh_scene(subdivisions=1))
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=128.0 / 8.0)
+    kw = dict(width=128, height=8, spp=2, max_depth=3, seed=11,
+              interpret=True)
+    a = np.asarray(render_flat_bvh_megakernel(
+        scene, cam, leaf_broadcast="extract", **kw))
+    b = np.asarray(render_flat_bvh_megakernel(
+        scene, cam, leaf_broadcast="matmul", **kw))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_leaf_gate_bitwise_matches_ungated():
+    """Sub-packet leaf gating (per-(8,128)-block pl.when on block any-hit)
+    must be a pure scheduling choice: inactive blocks would be no-op
+    updates anyway, so gated and ungated renders are BIT-identical.
+    Measured on v5e: gating is 25% SLOWER (Mosaic scalar branches cost
+    ~100 cycles each), so leaf_gate=False is the default; the flag stays
+    as a measured negative (see ARCHITECTURE)."""
+    scene = attach_packed(create_mesh_scene(subdivisions=1))
+    cam = make_camera(lookfrom=(0.0, 1.0, 3.0), lookat=(0.0, 0.0, 0.0),
+                      aspect_ratio=128.0 / 8.0)
+    kw = dict(width=128, height=8, spp=2, max_depth=3, seed=13,
+              interpret=True, tile_h=16)
+    a = np.asarray(render_flat_bvh_megakernel(
+        scene, cam, leaf_gate=False, **kw))
+    b = np.asarray(render_flat_bvh_megakernel(
+        scene, cam, leaf_gate=True, **kw))
+    np.testing.assert_array_equal(a, b)
