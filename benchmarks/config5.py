@@ -192,9 +192,8 @@ def main():
     args = p.parse_args()
 
     if args.mode == "tpu" and args.checkpoint:
-        res = {"config5_tpu_single_chip": dict(
-            width=args.width, height=args.height, spp=args.spp,
-            max_depth=args.max_depth, **checkpoint_run(args))}
+        # the subprocess result already carries width/height/spp/max_depth
+        res = {"config5_tpu_single_chip": checkpoint_run(args)}
     elif args.mode == "tpu":
         res = {"config5_tpu_single_chip": dict(
             width=args.width, height=args.height, spp=args.spp,

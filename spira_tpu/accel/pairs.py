@@ -21,9 +21,22 @@ row load at a dynamic *sublane* index (the supported-fast Mosaic case):
   ``count < 0`` -> empty slot (box is inverted so the slab test never hits).
   ptr/count are stored as exact small floats (no bitcasting needed
   in-kernel).
-* ``tri_rows`` (R, 128) float32 — 8 triangles per row, 16 lanes each:
-  ``[v0(3) e1(3) e2(3) n(3) mat(1) pad(3)]``.  Every leaf owns whole rows,
-  so leaf intersection is one (1, 128) vector load + static lane extracts.
+* ``tri_rows`` (R, 128) float32 — 8 triangles per row, 16 lanes each.
+  Two forms (``PackedBVH.form``), same slot/`prim_map` addressing:
+
+  - ``"mt"`` — Möller–Trumbore operands:
+    ``[v0(3) e1(3) e2(3) n(3) mat(1) pad(3)]``;
+  - ``"bw"`` — Baldwin–Weber world→barycentric transform (Baldwin &
+    Weber, JCGT 2016: precompute the affine maps u(p), v(p) and the
+    plane equation, turning the per-ray test into two dots, one divide
+    and two affine evaluations — ~25% fewer VPU ops than MT at the
+    same 13 broadcast constants):
+    ``[n̂(3) n̂·v0(1) A(3) a3(1) B(3) b3(1) mat(1) pad(3)]`` where
+    ``u(p) = A·p + a3``, ``v(p) = B·p + b3``,
+    ``A = (e2 × n)/|n|², B = (n × e1)/|n|²`` (n = e1 × e2 unnormalized).
+
+  Every leaf owns whole rows, so leaf intersection is one (1, 128)
+  vector load + static lane extracts.
 
 The packing is host-side NumPy, one-time per scene (like the flat-BVH
 serialization of the reference, `serialize_scene_for_gpu`
@@ -50,7 +63,7 @@ _CNT = 7
 
 
 @pytree_dataclass(
-    meta_fields=("root", "n_rows", "n_pairs", "max_leaf", "depth")
+    meta_fields=("root", "n_rows", "n_pairs", "max_leaf", "depth", "form")
 )
 class PackedBVH:
     """Device-resident pair-record BVH (replicated per chip)."""
@@ -66,6 +79,7 @@ class PackedBVH:
     n_pairs: int = 0
     max_leaf: int = TRIS_PER_ROW
     depth: int = 1  # pair records on the longest root->leaf chain
+    form: str = "mt"  # leaf operand layout: "mt" | "bw" (module docstring)
 
 
 def _leaf_rows_needed(count: int) -> int:
@@ -150,11 +164,38 @@ def pad8(a: np.ndarray) -> np.ndarray:
     return a
 
 
-def pack_bvh(bvh, tris, materials=None) -> PackedBVH:
+def _bw_operands(v0, e1, e2, nrm):
+    """Baldwin–Weber precompute for (T, 3) triangle arrays: returns the
+    12 per-triangle leaf constants ``[n̂(3), n̂·v0, A(3), a3, B(3), b3]``.
+
+    ``u(p) = A·p + a3`` and ``v(p) = B·p + b3`` are the barycentric
+    coordinates of any point p ON the triangle's plane;
+    ``t = (n̂·v0 − n̂·o) / (n̂·d)`` is the plane hit.  Degenerate (zero-area)
+    triangles get A = B = 0, a3 = b3 = −1, so u < 0 always rejects.
+    """
+    n = np.cross(e1, e2)
+    n2 = (n * n).sum(axis=1, keepdims=True)
+    safe = np.where(n2 > 0.0, n2, 1.0)
+    A = np.cross(e2, n) / safe
+    B = np.cross(n, e1) / safe
+    a3 = -(v0 * A).sum(axis=1, keepdims=True)
+    b3 = -(v0 * B).sum(axis=1, keepdims=True)
+    degen = n2 <= 0.0
+    A = np.where(degen, 0.0, A)
+    B = np.where(degen, 0.0, B)
+    a3 = np.where(degen, -1.0, a3)
+    b3 = np.where(degen, -1.0, b3)
+    dn = (nrm * v0).sum(axis=1, keepdims=True)
+    return np.concatenate([nrm, dn, A, a3, B, b3], axis=1).astype(np.float32)
+
+
+def pack_bvh(bvh, tris, materials=None, form="bw") -> PackedBVH:
     """Convert a FlatBVH + Triangles into pair records + packed tri rows.
 
     Leaves larger than ``TRIS_PER_ROW`` span multiple consecutive rows (the
-    kernel unrolls ``ceil(max_leaf / 8)`` row loads).
+    kernel unrolls ``ceil(max_leaf / 8)`` row loads).  ``form`` picks the
+    leaf operand layout (module docstring): ``"bw"`` (default — measured
+    faster on v5e) or ``"mt"``.
     """
     node_min = np.asarray(bvh.node_min, np.float32)
     node_max = np.asarray(bvh.node_max, np.float32)
@@ -163,11 +204,14 @@ def pack_bvh(bvh, tris, materials=None) -> PackedBVH:
     is_leaf = np.asarray(bvh.is_leaf, np.int64)
     prim_idx = np.asarray(bvh.prim_idx, np.int64)
 
+    if form not in ("mt", "bw"):
+        raise ValueError(f"unknown leaf form {form!r} (expected 'mt'|'bw')")
     v0 = np.asarray(tris.v0, np.float32)
     e1 = np.asarray(tris.e1, np.float32)
     e2 = np.asarray(tris.e2, np.float32)
     nrm = np.asarray(tris.normal, np.float32)
     mat = np.asarray(tris.material, np.float32)
+    bw = _bw_operands(v0, e1, e2, nrm) if form == "bw" else None
 
     internal = np.nonzero(is_leaf == 0)[0]
 
@@ -185,10 +229,13 @@ def pack_bvh(bvh, tris, materials=None) -> PackedBVH:
         prims = prim_idx[first : first + count]
         prim_map[row * TRIS_PER_ROW : row * TRIS_PER_ROW + count] = prims
         tri16 = np.zeros((count, TRI_STRIDE), np.float32)
-        tri16[:, 0:3] = v0[prims]
-        tri16[:, 3:6] = e1[prims]
-        tri16[:, 6:9] = e2[prims]
-        tri16[:, 9:12] = nrm[prims]
+        if form == "bw":
+            tri16[:, 0:12] = bw[prims]
+        else:
+            tri16[:, 0:3] = v0[prims]
+            tri16[:, 3:6] = e1[prims]
+            tri16[:, 6:9] = e2[prims]
+            tri16[:, 9:12] = nrm[prims]
         tri16[:, 12] = mat[prims]
         need = _leaf_rows_needed(count)
         flat = np.zeros((need, TRIS_PER_ROW * TRI_STRIDE), np.float32)
@@ -226,17 +273,19 @@ def pack_bvh(bvh, tris, materials=None) -> PackedBVH:
         n_pairs=pairs.shape[0],
         max_leaf=max_leaf,
         depth=depth,
+        form=form,
     )
 
 
-def attach_packed(scene):
+def attach_packed(scene, form="bw"):
     """Pack ``scene.bvh`` + triangles into pair tables and return a scene
     whose ``packed`` field feeds the Pallas packet megakernel."""
     from ..core.types import replace
 
     if scene.bvh is None:
         raise ValueError("attach_packed requires a scene with a built BVH")
-    return replace(scene, packed=pack_bvh(scene.bvh, scene.triangles))
+    return replace(scene, packed=pack_bvh(scene.bvh, scene.triangles,
+                                          form=form))
 
 
 def traverse_packed_numpy(packed: PackedBVH, origin, direction, t_min=1e-3):
@@ -269,16 +318,28 @@ def traverse_packed_numpy(packed: PackedBVH, origin, direction, t_min=1e-3):
             for j in range(cnt):
                 r, lane = ptr + j // TRIS_PER_ROW, TRI_STRIDE * (j % TRIS_PER_ROW)
                 f = rows[r, lane : lane + TRI_STRIDE]
-                v0, e1, e2 = f[0:3], f[3:6], f[6:9]
-                pv = np.cross(d, e2)
-                det = e1 @ pv
-                if abs(det) < 1e-9:
-                    continue
-                tv = o - v0
-                u = (tv @ pv) / det
-                qv = np.cross(tv, e1)
-                v = (d @ qv) / det
-                t = (e2 @ qv) / det
+                if packed.form == "bw":
+                    n, dn = f[0:3], f[3]
+                    den = n @ d
+                    if den == 0.0:
+                        continue
+                    t = (dn - n @ o) / den
+                    p = o + t * d
+                    u = f[4:7] @ p + f[7]
+                    v = f[8:11] @ p + f[11]
+                    nrm = n
+                else:
+                    v0, e1, e2 = f[0:3], f[3:6], f[6:9]
+                    pv = np.cross(d, e2)
+                    det = e1 @ pv
+                    if abs(det) < 1e-9:
+                        continue
+                    tv = o - v0
+                    u = (tv @ pv) / det
+                    qv = np.cross(tv, e1)
+                    v = (d @ qv) / det
+                    t = (e2 @ qv) / det
+                    nrm = f[9:12]
                 if u >= 0 and v >= 0 and u + v <= 1 and t_min < t < best[0]:
-                    best = (t, f[9:12].copy(), int(f[12]))
+                    best = (t, nrm.copy(), int(f[12]))
     return best

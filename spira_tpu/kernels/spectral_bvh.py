@@ -91,6 +91,7 @@ def make_packet_intersect_spectral(
     max_leaf: int,
     pops_per_iter: int = 1,
     dummy_row: int | None = None,
+    leaf_form="mt",
 ):
     """Build the ``intersect_fn`` plugged into ``trace_tile_spectral``.
 
@@ -111,6 +112,7 @@ def make_packet_intersect_spectral(
             o3, d3, active, best_t0,
             root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
             pops_per_iter=pops_per_iter, dummy_row=dummy_row,
+            leaf_form=leaf_form,
         )
 
         t_all = bt_ref[:]
@@ -156,7 +158,7 @@ def _kernel(
     stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
     *, spp, max_depth, width, height, n_spheres, n_mats, root,
     rows_per_leaf, max_leaf, inclusive_uv, tile_h, pops_per_iter, dummy_row,
-    has_lens=False,
+    has_lens=False, leaf_form="mt",
 ):
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -177,6 +179,7 @@ def _kernel(
         spheres, mats,
         root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
         pops_per_iter=pops_per_iter, dummy_row=dummy_row,
+        leaf_form=leaf_form,
     )
     x, y, z = sf.trace_tile_spectral(
         (row * width + col).astype(jnp.uint32),
@@ -237,6 +240,7 @@ def _launch(
         inclusive_uv=inclusive_uv, tile_h=tile_h,
         pops_per_iter=pops_per_iter, dummy_row=packed.pairs.shape[0],
         has_lens=camera.has_lens,
+        leaf_form=getattr(packed, "form", "mt"),
     )
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     block = pl.BlockSpec(
