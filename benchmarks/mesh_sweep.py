@@ -75,12 +75,11 @@ def main() -> None:
         grid = [(32, 16, 8)]
     else:
         grid = [
-            (32, 16, 8),   # round-2 tuned point (baseline)
-            (32, 8, 8),
-            (32, 32, 8),
+            (32, 8, 16),   # round-4 tuned point (baseline)
+            (32, 4, 16),
             (32, 16, 16),
-            (64, 16, 8),
-            (16, 16, 8),
+            (64, 8, 16),
+            (32, 8, 8),
         ]
 
     for name, scene_fn, cam in tiers:

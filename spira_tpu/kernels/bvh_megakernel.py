@@ -565,7 +565,16 @@ def run_packet_traversal(
                             num = dnc - (
                                 nbx * oxb + nby * oyb + nbz * ozb
                             )
-                            tt = num / den
+                            # hardware reciprocal + ONE Newton step
+                            # instead of the fp32 divide: +5-6% whole-
+                            # frame on v5e (51.1/26.4 vs 48.6/25.2
+                            # Mrays/s at 5.4k/73k) with image means
+                            # BIT-IDENTICAL to the exact divide; the
+                            # raw approx (no Newton) is no faster and
+                            # shifts means ~1e-5.  den==0 -> r0=inf ->
+                            # r1=NaN -> tt=NaN still self-rejects.
+                            r0 = pl.reciprocal(den, approx=True)
+                            tt = num * (r0 * (2.0 - den * r0))
                             px = oxb + tt * dxb
                             py = oyb + tt * dyb
                             pz = ozb + tt * dzb
