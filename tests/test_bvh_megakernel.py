@@ -321,3 +321,64 @@ def test_leaf_gate_bitwise_matches_ungated():
     b = np.asarray(render_flat_bvh_megakernel(
         scene, cam, leaf_gate=True, **kw))
     np.testing.assert_array_equal(a, b)
+
+
+def test_bw_operands_match_mt_barycentrics():
+    """The Baldwin-Weber packing (pairs._bw_operands) must reproduce
+    Moller-Trumbore's (t, u, v) for arbitrary triangles and rays: the two
+    leaf forms are different factorizations of the same intersection."""
+    from spira_tpu.accel.pairs import _bw_operands
+
+    rng = np.random.default_rng(7)
+    v0 = rng.normal(size=(64, 3)).astype(np.float32)
+    e1 = rng.normal(size=(64, 3)).astype(np.float32)
+    e2 = rng.normal(size=(64, 3)).astype(np.float32)
+    n = np.cross(e1, e2)
+    nrm = (n / np.linalg.norm(n, axis=1, keepdims=True)).astype(np.float32)
+    bw = _bw_operands(v0, e1, e2, nrm)  # (64, 12)
+
+    o, d = _random_rays(64, seed=8, spread=1.5)
+    # MT reference (float64)
+    pv = np.cross(d.astype(np.float64), e2.astype(np.float64))
+    det = np.sum(e1 * pv, axis=-1)
+    tv = o - v0
+    u_mt = np.sum(tv * pv, axis=-1) / det
+    qv = np.cross(tv.astype(np.float64), e1.astype(np.float64))
+    v_mt = np.sum(d * qv, axis=-1) / det
+    t_mt = np.sum(e2 * qv, axis=-1) / det
+    # BW evaluation, exactly as the kernel computes it
+    nh, dn = bw[:, 0:3], bw[:, 3]
+    den = np.sum(nh * d, axis=-1)
+    t_bw = (dn - np.sum(nh * o, axis=-1)) / den
+    p = o + t_bw[:, None] * d
+    u_bw = np.sum(bw[:, 4:7] * p, axis=-1) + bw[:, 7]
+    v_bw = np.sum(bw[:, 8:11] * p, axis=-1) + bw[:, 11]
+
+    ok = np.abs(det) > 1e-6
+    scale = 1.0 + np.abs(t_mt[ok])
+    assert np.allclose(t_bw[ok], t_mt[ok], atol=1e-3 * scale.max(),
+                       rtol=1e-3)
+    assert np.allclose(u_bw[ok], u_mt[ok], atol=2e-3, rtol=2e-3)
+    assert np.allclose(v_bw[ok], v_mt[ok], atol=2e-3, rtol=2e-3)
+
+
+def test_bw_and_mt_forms_agree_through_kernel():
+    """End-to-end: the interpret-mode packet kernel returns the same hits
+    for both leaf forms on a real mesh (winner slots, normals, mats)."""
+    tris = icosphere(center=(0.0, 0.0, -1.0), radius=0.5, subdivisions=2,
+                     material=0)
+    bvh = build_bvh_for_triangles(tris)
+    origins, dirs = _random_rays(1024, seed=3)
+    res = {}
+    for form in ("mt", "bw"):
+        packed = pack_bvh(bvh, tris, form=form)
+        res[form] = intersect_tile(packed, origins, dirs, interpret=True,
+                                   tile_h=8)
+    t_mt, n_mt, m_mt = (np.asarray(x) for x in res["mt"])
+    t_bw, n_bw, m_bw = (np.asarray(x) for x in res["bw"])
+    hit_mt = t_mt < 1e19
+    hit_bw = t_bw < 1e19
+    assert (hit_mt == hit_bw).all()
+    assert np.allclose(t_mt[hit_mt], t_bw[hit_bw], atol=1e-4, rtol=1e-5)
+    assert (m_mt[hit_mt] == m_bw[hit_bw]).all()
+    assert np.allclose(n_mt[hit_mt], n_bw[hit_bw], atol=1e-6)
