@@ -48,6 +48,29 @@ def tpu_run(args):
         stats = jax.local_devices()[0].memory_stats() or {}
     except Exception:
         stats = {}
+    # The axon tunnel backend implements neither memory_stats() nor the
+    # heap profiler, so the RUNTIME peak is unobservable here
+    # (peak_bytes_in_use stays null).  The COMPILER's buffer-assignment
+    # peak for the chunk program — the actual HBM envelope XLA reserves —
+    # is available through AOT lowering and is recorded instead.
+    peak_analysis = None
+    try:
+        import functools
+
+        import jax.numpy as jnp
+
+        from spira_tpu.pipeline import _render_chunk
+
+        chunk_fn = jax.jit(functools.partial(
+            _render_chunk, width=args.width, height=args.height,
+            n_samples=min(args.chunk, args.spp), max_depth=args.max_depth,
+            semantics=cfg.semantics, spectral=cfg.spectral, seed=cfg.seed,
+        ))
+        ma = chunk_fn.lower(scene, camera, jnp.int32(0)).compile(
+        ).memory_analysis()
+        peak_analysis = int(ma.peak_memory_in_bytes)
+    except Exception:
+        pass
     import hashlib
 
     import numpy as np
@@ -60,6 +83,7 @@ def tpu_run(args):
         "chunks": -(-args.spp // args.chunk),
         "checkpointed": bool(args.ckpt_dir),
         "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+        "peak_memory_analysis_bytes": peak_analysis,
         "image_mean": float(img.mean()),
         "image_sha256": digest,
     }
@@ -91,15 +115,28 @@ def checkpoint_run(args):
         return json.loads(line)["config5_tpu_single_chip"], wall, out
 
     res1, wall1, _ = run_to_completion(d1)
-    # kill the second run ~65% of the way through its render phase
-    kill_at = max(5.0, wall1 - 0.35 * res1["seconds"])
-    t0 = time.perf_counter()
-    try:
-        subprocess.run(base + ["--ckpt-dir", d2], capture_output=True,
-                       text=True, timeout=kill_at)
-        killed = False  # finished before the timeout — resume trivial
-    except subprocess.TimeoutExpired:
-        killed = True
+    # Kill the second run MID-RENDER, deterministically: watch its
+    # checkpoint manifest and SIGKILL on the 3rd chunk save (of 8) —
+    # timing-based kills race the compile cache (a cached second run can
+    # finish before any wall-clock deadline scaled from the first).
+    manifest = os.path.join(d2, "manifest.json")
+    proc = subprocess.Popen(base + ["--ckpt-dir", d2],
+                            stdout=subprocess.DEVNULL,
+                            stderr=subprocess.DEVNULL)
+    killed = False
+    seen = set()
+    deadline = time.time() + 3600
+    while proc.poll() is None and time.time() < deadline:
+        try:
+            seen.add(os.stat(manifest).st_mtime_ns)
+        except FileNotFoundError:
+            pass
+        if len(seen) >= 3:
+            proc.kill()
+            killed = True
+            break
+        time.sleep(0.2)
+    proc.wait()
     res3, _, out3 = run_to_completion(d2)
     resumed = "resumed at sample" in (out3.stderr + out3.stdout)
     shutil.rmtree(root, ignore_errors=True)
