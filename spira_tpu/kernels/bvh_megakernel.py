@@ -152,6 +152,7 @@ def make_packet_intersect(
     leaf_broadcast="extract",
     leaf_gate=False,
     leaf_form="mt",
+    slab_dtype=jnp.float32,
 ):
     """Build the ``intersect_fn`` plugged into ``trace_tile``.
 
@@ -197,6 +198,7 @@ def make_packet_intersect(
             leaf_visit=leaf_visit, sid_ref=sid_ref, ctr_ref=ctr_ref,
             leaf_dtype=leaf_dtype, leaf_broadcast=leaf_broadcast,
             leaf_gate=leaf_gate, leaf_form=leaf_form,
+            slab_dtype=slab_dtype,
         )
 
         # ---- resolve traversal registers into the shared hit-state shape
@@ -348,6 +350,7 @@ def run_packet_traversal(
     leaf_broadcast="extract",
     leaf_gate=False,
     leaf_form="mt",
+    slab_dtype=jnp.float32,
 ):
     """The shared packet traversal loop: runs the SMEM-stack tree walk and
     leaves (best_t, triangle normal, material id) in the scratch refs.
@@ -391,8 +394,13 @@ def run_packet_traversal(
     inv_dz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, jnp.float32(1e12))
     # the bf16 tier runs the slab tests at bf16 too (same statistical
     # contract as the leaf math; a ~0.4% relative pad keeps borderline
-    # boxes from being culled by bf16 rounding)
-    slab_bf16 = leaf_dtype == jnp.bfloat16
+    # boxes from being culled by bf16 rounding).  ``slab_dtype`` can also
+    # enable bf16 slabs ALONE (fp32 leaves): the pop-side slab block is a
+    # pure-VPU straight-line region, so halving its element width halves
+    # its vector time without touching leaf precision — the conservative
+    # pad means at worst EXTRA leaf visits, never missed geometry.
+    slab_bf16 = (leaf_dtype == jnp.bfloat16
+                 or slab_dtype == jnp.bfloat16)
     if slab_bf16:
         sxo = ox.astype(jnp.bfloat16)
         syo = oy.astype(jnp.bfloat16)
@@ -849,7 +857,7 @@ def _kernel(
     rows_per_leaf, max_leaf, inclusive_uv, tile_h, pops_per_iter, dummy_row,
     has_lens=False, normalize=True, use_mxu=False, mxu_precision="highest",
     counters=False, leaf_precision="fp32", leaf_broadcast="extract",
-    leaf_gate=False, leaf_form="mt",
+    leaf_gate=False, leaf_form="mt", slab_precision="fp32",
 ):
     ctr_ref = out_ctr = None
     if counters:
@@ -904,6 +912,9 @@ def _kernel(
         leaf_broadcast=leaf_broadcast,
         leaf_gate=leaf_gate,
         leaf_form=leaf_form,
+        slab_dtype=(
+            jnp.bfloat16 if slab_precision == "bf16" else jnp.float32
+        ),
     )
     r, g, b = mk.trace_tile(
         (row * width + col).astype(jnp.uint32),
@@ -1075,7 +1086,7 @@ def pack_materials_jnp(materials):
         "width", "height", "spp", "max_depth", "n_spheres", "n_mats",
         "inclusive_uv", "interpret", "tile_h", "pops_per_iter",
         "n_rows", "normalize", "mxu_leaf", "mxu_precision", "counters",
-        "leaf_precision", "leaf_broadcast", "leaf_gate",
+        "leaf_precision", "leaf_broadcast", "leaf_gate", "slab_precision",
     ),
 )
 def _launch(
@@ -1083,7 +1094,7 @@ def _launch(
     n_spheres, n_mats, inclusive_uv, interpret, tile_h=TILE_H,
     pops_per_iter=1, n_rows=None, normalize=True, mxu_leaf=False,
     mxu_precision="highest", counters=False, leaf_precision="fp32",
-    leaf_broadcast="extract", leaf_gate=False,
+    leaf_broadcast="extract", leaf_gate=False, slab_precision="fp32",
 ):
     if mxu_leaf:
         # pair-record tree whose leaves are Plücker superleaf blocks
@@ -1127,6 +1138,7 @@ def _launch(
         leaf_precision=leaf_precision, leaf_broadcast=leaf_broadcast,
         leaf_gate=leaf_gate,
         leaf_form=getattr(packed, "form", "mt") if not mxu_leaf else "mt",
+        slab_precision=slab_precision,
     )
     # under shard_map the outputs vary across the mesh axes the inputs do;
     # jax requires that declared on the out ShapeDtypeStructs (vma)
@@ -1293,6 +1305,7 @@ def render_flat_bvh_megakernel(
     leaf_precision: str = "fp32",
     leaf_broadcast: str = "extract",
     leaf_gate: bool = False,
+    slab_precision: str = "fp32",
 ):
     """Pallas packet-BVH render → flat (H*W, 3) bottom-up HDR buffer.
 
@@ -1350,6 +1363,7 @@ def render_flat_bvh_megakernel(
         leaf_precision=leaf_precision,
         leaf_broadcast=leaf_broadcast,
         leaf_gate=leaf_gate,
+        slab_precision=slab_precision,
     )
     return mk._crop_flat(r, g, b, width, height)
 
