@@ -258,6 +258,15 @@ def pack_bvh(bvh, tris, materials=None, form="bw") -> PackedBVH:
     max_leaf = int(right[leaves].max()) if leaves.size else 1
 
     padded_rows = pad8(tri_rows)
+    # The differentiable intersect hook tracks the winning slot as a
+    # float32 (exact only below 2^24): fail loudly here instead of letting
+    # >2M-triangle meshes silently gather wrong prim_map entries.
+    if padded_rows.shape[0] * TRIS_PER_ROW >= 2 ** 24:
+        raise ValueError(
+            f"packed BVH has {padded_rows.shape[0] * TRIS_PER_ROW} tri "
+            "slots; the float32 winner-slot register is exact only below "
+            "2^24 — split the mesh or raise TRIS_PER_ROW"
+        )
     if padded_rows.shape[0] > total_rows:
         prim_map = np.concatenate([
             prim_map,

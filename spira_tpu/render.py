@@ -33,6 +33,7 @@ from .scene.camera import generate_rays
         "semantics",
         "inclusive_uv",
         "spectral",
+        "grad_hook",
     ),
 )
 def render_flat(
@@ -47,6 +48,7 @@ def render_flat(
     semantics: str = "physical",
     inclusive_uv: bool = True,
     spectral: bool = False,
+    grad_hook: bool = True,
 ):
     """Render to a flat (H*W, 3) bottom-up HDR radiance buffer (mean of spp).
 
@@ -61,6 +63,13 @@ def render_flat(
     bitwise-equivalent (same winner, same differentiable hit recompute —
     `tests/test_grad.py::test_packet_backward_matches_wavefront_backward_bitwise`)
     and faster.
+
+    NUMERIC NOTE: the grad-mode hook recomputes the winner's t/normal via
+    Möller–Trumbore rather than reading the kernel's Baldwin–Weber leaf
+    values, so TPU packed-scene images differ in float ulps from
+    `render_flat_bvh_megakernel` and from non-TPU backends.  Forward-only
+    callers can pass ``grad_hook=False`` for the cheaper no-recompute
+    hook (but that path is NOT differentiable — pallas_call has no VJP).
     """
     if spp < 1:
         raise ValueError(f"spp must be >= 1, got {spp}")
@@ -72,7 +81,7 @@ def render_flat(
     ):
         from .kernels.bvh_megakernel import make_sorted_tile_intersect
 
-        intersect_fn = make_sorted_tile_intersect(grad=True)
+        intersect_fn = make_sorted_tile_intersect(grad=grad_hook)
     base = srng.base_key(seed)
     return accumulate_rows(
         scene,

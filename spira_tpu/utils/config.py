@@ -34,7 +34,7 @@ class RenderConfig:
     # estimator
     semantics: str = "physical"  # physical | reference
     spectral: bool = False
-    engine: str = "auto"  # auto | pallas | pallas_bvh | pallas_spectral_bvh | fused | wavefront
+    engine: str = "auto"  # one of ENGINE_CHOICES (module-level canonical list)
     shading: str = "full"  # full | preview | normal (single-bounce quick looks)
     seed: int = 0
     tonemap: str = "gamma"  # gamma | aces | none
@@ -61,6 +61,18 @@ class RenderConfig:
             if k in d and d[k] is not None:
                 d[k] = tuple(d[k])
         return cls(**d)
+
+
+#: Canonical engine list — the ONE place engines are enumerated (the CLI,
+#: RenderConfig and docs all point here; `render.select_engine` resolves
+#: "auto").  The trailing entries are retired-but-callable experiments
+#: (`spira_tpu.experiments` post-mortem) kept for reproducibility.
+ENGINE_CHOICES = (
+    "auto", "pallas", "pallas_bvh", "pallas_spectral_bvh", "fused",
+    "wavefront", "bvh_sorted",
+    # retired experiments (measured slower; excluded from auto dispatch):
+    "pallas_mxu", "pallas_bvh_mxu",
+)
 
 
 #: Quality tiers mirroring the reference's config ladder: `quick` is its
@@ -94,11 +106,7 @@ def add_render_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--shading", default="full",
                    choices=["full", "preview", "normal"],
                    help="full path tracing, or single-bounce quick looks")
-    p.add_argument("--engine", default="auto",
-                   choices=["auto", "pallas", "pallas_bvh",
-                            "pallas_spectral_bvh", "pallas_mxu",
-                            "pallas_bvh_mxu", "bvh_sorted", "fused",
-                            "wavefront"],
+    p.add_argument("--engine", default="auto", choices=list(ENGINE_CHOICES),
                    help="execution engine (auto picks per scene/backend; "
                         "the pallas_*mxu engines are retired experiments — "
                         "see spira_tpu.experiments)")
