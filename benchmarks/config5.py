@@ -114,6 +114,14 @@ def checkpoint_run(args):
         line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
         return json.loads(line)["config5_tpu_single_chip"], wall, out
 
+    # UNCHECKPOINTED control in the same session (VERDICT r4 item 3):
+    # separates checkpoint overhead from environment drift and prices the
+    # save path explicitly.
+    t0 = time.perf_counter()
+    out0 = subprocess.run(base, capture_output=True, text=True, timeout=3600)
+    line0 = [l for l in out0.stdout.splitlines() if l.startswith("{")][-1]
+    res0 = json.loads(line0)["config5_tpu_single_chip"]
+
     res1, wall1, _ = run_to_completion(d1)
     # Kill the second run MID-RENDER, deterministically: watch its
     # checkpoint manifest and SIGKILL on the 3rd chunk save (of 8) —
@@ -140,8 +148,16 @@ def checkpoint_run(args):
     res3, _, out3 = run_to_completion(d2)
     resumed = "resumed at sample" in (out3.stderr + out3.stdout)
     shutil.rmtree(root, ignore_errors=True)
+    overhead = (res1["seconds"] - res0["seconds"]) / res0["seconds"]
     return {
         **res1,
+        "uncheckpointed_seconds": res0["seconds"],
+        "uncheckpointed_rays_per_sec": res0["rays_per_sec"],
+        "uncheckpointed_image_sha256": res0["image_sha256"],
+        "checkpoint_overhead_pct": round(100.0 * overhead, 1),
+        "checkpoint_matches_uncheckpointed": (
+            res0["image_sha256"] == res1["image_sha256"]
+        ),
         "resume_killed_mid_render": killed,
         "resume_log_seen": resumed,
         "resume_exact": res3["image_sha256"] == res1["image_sha256"],

@@ -73,12 +73,14 @@ STACK_SIZE = 1024
 _DISCARD = STACK_SIZE - 1  # masked pushes land here and are never read
 
 
-def _check_stack_depth(depth: int, pops_per_iter: int) -> None:
+def _check_stack_depth(depth: int, pops_per_iter: int,
+                       defer_leaves: bool = False) -> None:
     """Refuse trees whose traversal could overflow the SMEM stack.
 
     Each of the K popped records pushes at most 2 entries, and a
     depth-D chain can hold up to 2K pending entries per level, so
-    2*K*D (+K transient) bounds occupancy.  Overflow would silently
+    2*K*D (+K transient) bounds occupancy.  ``defer_leaves`` pushes leaf
+    children too, adding one effective level.  Overflow would silently
     corrupt traversal through the shared _DISCARD slot."""
     if pops_per_iter > 16:
         # the any-hit OR-tree packs 2K bit planes into ONE int32
@@ -88,7 +90,8 @@ def _check_stack_depth(depth: int, pops_per_iter: int) -> None:
             f"pops_per_iter={pops_per_iter} exceeds the 16-pop limit of "
             "the int32 any-hit bitmask reduce"
         )
-    if 2 * pops_per_iter * depth + pops_per_iter >= STACK_SIZE:
+    eff_depth = depth + 1 if defer_leaves else depth
+    if 2 * pops_per_iter * eff_depth + pops_per_iter >= STACK_SIZE:
         raise ValueError(
             f"packed BVH depth {depth} with pops_per_iter={pops_per_iter} "
             f"could overflow the {STACK_SIZE}-entry traversal stack; "
@@ -153,6 +156,8 @@ def make_packet_intersect(
     leaf_gate=False,
     leaf_form="mt",
     slab_dtype=jnp.float32,
+    defer_leaves=False,
+    descent_order="dir",
 ):
     """Build the ``intersect_fn`` plugged into ``trace_tile``.
 
@@ -177,7 +182,7 @@ def make_packet_intersect(
     K = pops_per_iter
     if K > 1 and dummy_row is None:
         raise ValueError("pops_per_iter > 1 requires a dummy_row")
-    def intersect(o3, d3, active):
+    def intersect(o3, d3, active, bounce=0):
         # ---- spheres first: their hits seed best_t and cull mesh subtrees
         dx = d3[0]
         st = mk.init_hit_state(dx)
@@ -199,6 +204,8 @@ def make_packet_intersect(
             leaf_dtype=leaf_dtype, leaf_broadcast=leaf_broadcast,
             leaf_gate=leaf_gate, leaf_form=leaf_form,
             slab_dtype=slab_dtype,
+            defer_leaves=defer_leaves, descent_order=descent_order,
+            primary=(bounce == 0),
         )
 
         # ---- resolve traversal registers into the shared hit-state shape
@@ -214,6 +221,9 @@ def make_packet_intersect(
             mk._select_mats(st, tri_hit & (mid == np.float32(m)), fields)
         return mk.finish_intersect(o3, d3, st)
 
+    # trace_tile's bounce loop is a static unroll: advertise that this
+    # provider accepts the static bounce index (bounce-resolved counters)
+    intersect.wants_bounce = True
     return intersect
 
 
@@ -351,6 +361,9 @@ def run_packet_traversal(
     leaf_gate=False,
     leaf_form="mt",
     slab_dtype=jnp.float32,
+    defer_leaves: bool = False,
+    descent_order: str = "dir",
+    primary: bool = False,
 ):
     """The shared packet traversal loop: runs the SMEM-stack tree walk and
     leaves (best_t, triangle normal, material id) in the scratch refs.
@@ -376,6 +389,23 @@ def run_packet_traversal(
     VPU scalar-broadcast Möller–Trumbore leaf loop — the MXU superleaf
     engine plugs its Plücker block visit in here (``tris_ref``/
     ``rows_per_leaf``/``max_leaf`` are then unused).
+
+    ``defer_leaves``: instead of visiting a leaf child inline at its
+    parent's pop, PUSH it (encoded as ``-(2*rec + half) - 1``) and re-run
+    its slab test when it pops — by then ``best_t`` has matured through
+    nearer subtrees, so occluded leaves are culled before paying the
+    ~10x-costlier triangle loop (lazy leaf processing, the standard
+    packet-tracing refinement the inline form trades away).
+
+    ``descent_order``: ``"dir"`` — project child centers on the packet's
+    mean ray (best for coherent packets); ``"mixed"`` — blend in
+    distance-to-mean-origin weighted by (1 - |mean dir|^2), so decohered
+    secondary packets (mean dir ~ 0, origins still clustered on the
+    scattering surface) fall back to near-origin-first ordering.
+
+    ``primary``: statically marks bounce-0 traversals; with ``ctr_ref``
+    the leaf-visit count is additionally accumulated into slot [6]
+    (bounce-resolved counters — primary vs secondary split).
     """
     K = pops_per_iter
     if K > 1 and dummy_row is None:
@@ -393,23 +423,24 @@ def run_packet_traversal(
     inv_dy = jnp.where(jnp.abs(dy) > 1e-12, 1.0 / dy, jnp.float32(1e12))
     inv_dz = jnp.where(jnp.abs(dz) > 1e-12, 1.0 / dz, jnp.float32(1e12))
     # the bf16 tier runs the slab tests at bf16 too (same statistical
-    # contract as the leaf math; a ~0.4% relative pad keeps borderline
-    # boxes from being culled by bf16 rounding).  ``slab_dtype`` can also
-    # enable bf16 slabs ALONE (fp32 leaves): the pop-side slab block is a
-    # pure-VPU straight-line region, so halving its element width halves
-    # its vector time without touching leaf precision — the conservative
-    # pad means at worst EXTRA leaf visits, never missed geometry.
+    # contract as the leaf math).  The subtraction (box - origin) stays
+    # FP32 — rounding box coords and origin to bf16 before subtracting
+    # turns the cancellation error into ~0.4% of |coordinate magnitude|
+    # rather than of the slab distance, which for scenes offset from the
+    # world origin can overshoot any relative pad and cull true hits
+    # (round-4 advisor finding).  Only the post-subtraction product and
+    # min/max chain run bf16; with exact differences the residual error
+    # is bounded by bf16 rounding of tn/tf themselves, which the ~0.4%
+    # relative pad at the compare covers — at worst EXTRA leaf visits,
+    # never missed geometry.
     slab_bf16 = (leaf_dtype == jnp.bfloat16
                  or slab_dtype == jnp.bfloat16)
+    sxo, syo, szo = ox, oy, oz
     if slab_bf16:
-        sxo = ox.astype(jnp.bfloat16)
-        syo = oy.astype(jnp.bfloat16)
-        szo = oz.astype(jnp.bfloat16)
         sxi = inv_dx.astype(jnp.bfloat16)
         syi = inv_dy.astype(jnp.bfloat16)
         szi = inv_dz.astype(jnp.bfloat16)
     else:
-        sxo, syo, szo = ox, oy, oz
         sxi, syi, szi = inv_dx, inv_dy, inv_dz
 
     bt_ref[:] = best_t0
@@ -430,6 +461,18 @@ def run_packet_traversal(
     dmx = jnp.sum(dx) * inv_n
     dmy = jnp.sum(dy) * inv_n
     dmz = jnp.sum(dz) * inv_n
+    if descent_order == "mixed":
+        # |mean dir|^2 of unit dirs measures packet coherence in [0,1]:
+        # 1 - it weights a near-origin-first distance term that takes
+        # over when directions decohere (scatter packets keep clustered
+        # origins even when the direction projection is noise)
+        wfar = jnp.maximum(
+            1.0 - (dmx * dmx + dmy * dmy + dmz * dmz), 0.0
+        )
+    elif descent_order == "dist":
+        wfar = jnp.float32(1.0)  # pure near-origin-first (A/B probe)
+    elif descent_order != "dir":
+        raise ValueError(f"unknown descent_order {descent_order!r}")
 
     if leaf_visit is None:
         # The leaf Möller–Trumbore loop is the measured hot spot: the
@@ -720,8 +763,25 @@ def run_packet_traversal(
         hits = []
         ents = []
         prjs = []
+        leaf_es = []  # per entry: is this a deferred-leaf stack entry?
+        recs = []     # per entry: decoded pair-row index
         for i in range(K):
-            rec = pairs_ref[pl.ds(ps[i], 1), :]  # (1, 16) both children
+            if defer_leaves:
+                # leaf entries are encoded -(2*rec + half) - 1; decode
+                # back to (parent record, half) for the box re-test
+                e = ps[i]
+                is_leaf_e = e < 0
+                enc = -(e + 1)
+                rec_idx = jnp.where(
+                    is_leaf_e, jax.lax.shift_right_logical(enc, 1), e
+                )
+                half_sel = jnp.bitwise_and(enc, 1)
+            else:
+                is_leaf_e = None
+                rec_idx = ps[i]
+            leaf_es.append(is_leaf_e)
+            recs.append(rec_idx)
+            rec = pairs_ref[pl.ds(rec_idx, 1), :]  # (1, 16) both children
             for half in (0, 1):
                 b = 8 * half
                 lox = rec[0, b + 0]
@@ -733,25 +793,33 @@ def run_packet_traversal(
                 ptr = rec[0, b + 6].astype(jnp.int32)
                 cnt = rec[0, b + 7]
                 if slab_bf16:
+                    # FP32 subtraction first (advisor fix: bf16-rounding
+                    # the operands makes the cancellation error relative
+                    # to |coordinate|, not to the slab distance); only
+                    # the difference is cast down
                     cb = lambda v: v.astype(jnp.bfloat16)
-                    lxc, lyc, lzc = cb(lox), cb(loy), cb(loz)
-                    hxc, hyc, hzc = cb(hix), cb(hiy), cb(hiz)
                 else:
-                    lxc, lyc, lzc = lox, loy, loz
-                    hxc, hyc, hzc = hix, hiy, hiz
+                    cb = lambda v: v
                     bestc = best
-                t0 = (lxc - sxo) * sxi
-                t1 = (hxc - sxo) * sxi
+                t0 = cb(lox - sxo) * sxi
+                t1 = cb(hix - sxo) * sxi
                 tn = jnp.minimum(t0, t1)
                 tf = jnp.maximum(t0, t1)
-                t0 = (lyc - syo) * syi
-                t1 = (hyc - syo) * syi
+                t0 = cb(loy - syo) * syi
+                t1 = cb(hiy - syo) * syi
                 tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                 tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-                t0 = (lzc - szo) * szi
-                t1 = (hzc - szo) * szi
+                t0 = cb(loz - szo) * szi
+                t1 = cb(hiz - szo) * szi
                 tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                 tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                gatec = cnt > -0.5
+                if defer_leaves:
+                    # a deferred-leaf entry re-tests ONLY its encoded
+                    # half; the sibling half is gated off (scalar AND)
+                    gatec = gatec & (
+                        jnp.logical_not(is_leaf_e) | (half_sel == half)
+                    )
                 if slab_bf16:
                     # no bf16 compare on v5e: upcast the two reduced
                     # values; ~0.4% pad covers bf16 rounding of tn/tf
@@ -759,18 +827,24 @@ def run_packet_traversal(
                         jnp.maximum(tn.astype(jnp.float32), 0.0)
                         <= jnp.minimum(tf.astype(jnp.float32), best)
                         * 1.004 + 0.001
-                    ) & (cnt > -0.5)
+                    ) & gatec
                 else:
                     hitm = (
                         jnp.maximum(tn, 0.0) <= jnp.minimum(tf, bestc)
-                    ) & (cnt > -0.5)
+                    ) & gatec
                 hits.append(hitm)
                 ents.append((ptr, cnt))
-                prjs.append(
+                prj = (
                     (0.5 * (lox + hix) - omx) * dmx
                     + (0.5 * (loy + hiy) - omy) * dmy
                     + (0.5 * (loz + hiz) - omz) * dmz
                 )
+                if descent_order in ("mixed", "dist"):
+                    cx = 0.5 * (lox + hix) - omx
+                    cy = 0.5 * (loy + hiy) - omy
+                    cz = 0.5 * (loz + hiz) - omz
+                    prj = prj + wfar * (cx * cx + cy * cy + cz * cz)
+                prjs.append(prj)
 
         # ONE vector→scalar readback decodes all 2K any-hit bits
         if K == 1:
@@ -807,35 +881,67 @@ def run_packet_traversal(
                 ((bits >> j) & 1) > 0 for j in range(2 * K)
             )
 
+        def _visitable(h):
+            cond = anyhits[h] & (ents[h][1] > 0.5)
+            if defer_leaves:
+                # only deferred-leaf entries visit; leaf children of
+                # internal entries are pushed for a later re-test
+                cond = cond & leaf_es[h // 2]
+            return cond
+
         if ctr_ref is not None:
             ctr_ref[0] = ctr_ref[0] + 1
             n_leaf = jnp.int32(0)
             for half in range(2 * K):
-                n_leaf = n_leaf + (
-                    anyhits[half] & (ents[half][1] > 0.5)
-                ).astype(jnp.int32)
+                n_leaf = n_leaf + _visitable(half).astype(jnp.int32)
             ctr_ref[1] = ctr_ref[1] + n_leaf
+            if primary:
+                ctr_ref[6] = ctr_ref[6] + n_leaf
+            if defer_leaves:
+                # re-tests whose matured best_t culled the whole visit
+                n_cull = jnp.int32(0)
+                for i in range(K):
+                    n_cull = n_cull + (
+                        leaf_es[i]
+                        & jnp.logical_not(
+                            anyhits[2 * i] | anyhits[2 * i + 1]
+                        )
+                    ).astype(jnp.int32)
+                ctr_ref[7] = ctr_ref[7] + n_cull
 
         for half in range(2 * K):
             ptr, cnt = ents[half]
             hitm = hits[half] & active
 
-            @pl.when(anyhits[half] & (cnt > 0.5))
+            @pl.when(_visitable(half))
             def _leaf(ptr=ptr, cnt=cnt, hitm=hitm):
                 leaf_visit(ptr, cnt, hitm)
 
-        # ordered descent: push the far internal child first so the near
-        # one pops first and shrinks best_t before the far subtree runs.
-        # Records push in reverse batch order so record 0's near child
-        # ends on top of the stack (approximate DFS order across a batch)
+        # ordered descent: push the far child first so the near one pops
+        # first and shrinks best_t before the far subtree runs.  Records
+        # push in reverse batch order so record 0's near child ends on
+        # top of the stack (approximate DFS order across a batch)
         for i in reversed(range(K)):
-            push0 = anyhits[2 * i] & (ents[2 * i][1] == 0.0)
-            push1 = anyhits[2 * i + 1] & (ents[2 * i + 1][1] == 0.0)
-            near0 = prjs[2 * i] <= prjs[2 * i + 1]
-            far_ptr = jnp.where(near0, ents[2 * i + 1][0], ents[2 * i][0])
+            c0, c1 = 2 * i, 2 * i + 1
+            cnt0, cnt1 = ents[c0][1], ents[c1][1]
+            if defer_leaves:
+                not_le = jnp.logical_not(leaf_es[i])
+                push0 = anyhits[c0] & not_le & (cnt0 > -0.5)
+                push1 = anyhits[c1] & not_le & (cnt1 > -0.5)
+                val0 = jnp.where(
+                    cnt0 > 0.5, -(2 * recs[i] + 0) - 1, ents[c0][0]
+                )
+                val1 = jnp.where(
+                    cnt1 > 0.5, -(2 * recs[i] + 1) - 1, ents[c1][0]
+                )
+            else:
+                push0 = anyhits[c0] & (cnt0 == 0.0)
+                push1 = anyhits[c1] & (cnt1 == 0.0)
+                val0, val1 = ents[c0][0], ents[c1][0]
+            near0 = prjs[c0] <= prjs[c1]
+            far_ptr = jnp.where(near0, val1, val0)
             far_push = jnp.where(near0, push1, push0)
-            near_ptr = jnp.where(near0, ents[2 * i][0],
-                                 ents[2 * i + 1][0])
+            near_ptr = jnp.where(near0, val0, val1)
             near_push = jnp.where(near0, push0, push1)
             stack_ref[jnp.where(far_push, sp, _DISCARD)] = far_ptr
             sp = sp + far_push.astype(jnp.int32)
@@ -858,6 +964,7 @@ def _kernel(
     has_lens=False, normalize=True, use_mxu=False, mxu_precision="highest",
     counters=False, leaf_precision="fp32", leaf_broadcast="extract",
     leaf_gate=False, leaf_form="mt", slab_precision="fp32",
+    defer_leaves=False, descent_order="dir",
 ):
     ctr_ref = out_ctr = None
     if counters:
@@ -877,7 +984,7 @@ def _kernel(
          stack_ref, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref) = rest
         mxu_refs = None
     if ctr_ref is not None:
-        for k in range(6):
+        for k in range(8):
             ctr_ref[k] = jnp.int32(0)
     i = pl.program_id(0)
     j = pl.program_id(1)
@@ -915,6 +1022,8 @@ def _kernel(
         slab_dtype=(
             jnp.bfloat16 if slab_precision == "bf16" else jnp.float32
         ),
+        defer_leaves=defer_leaves,
+        descent_order=descent_order,
     )
     r, g, b = mk.trace_tile(
         (row * width + col).astype(jnp.uint32),
@@ -941,7 +1050,7 @@ def _kernel(
         lane = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 1)
         srow = jax.lax.broadcasted_iota(jnp.int32, (tile_h, TILE_W), 0)
         vals = jnp.zeros((tile_h, TILE_W), jnp.int32)
-        for k in range(6):
+        for k in range(8):
             vals = jnp.where((srow == 0) & (lane == k), ctr_ref[k], vals)
         out_ctr[:] = vals
 
@@ -951,7 +1060,8 @@ def _intersect_only_kernel(
     pairs_ref, tris_ref,
     *rest,
     root, rows_per_leaf, max_leaf, pops_per_iter, dummy_row,
-    track_prim=False, leaf_form="mt",
+    track_prim=False, leaf_form="mt", defer_leaves=False,
+    descent_order="dir",
 ):
     if track_prim:
         (out_t, out_nx, out_ny, out_nz, out_mid, out_sid,
@@ -968,6 +1078,7 @@ def _intersect_only_kernel(
         root=root, rows_per_leaf=rows_per_leaf, max_leaf=max_leaf,
         pops_per_iter=pops_per_iter, dummy_row=dummy_row,
         sid_ref=sid_ref, leaf_form=leaf_form,
+        defer_leaves=defer_leaves, descent_order=descent_order,
     )
     o3 = (ox_ref[:], oy_ref[:], oz_ref[:])
     d3 = (dx_ref[:], dy_ref[:], dz_ref[:])
@@ -986,10 +1097,12 @@ def _intersect_only_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "tile_h", "pops_per_iter", "track_prim"),
+    static_argnames=("interpret", "tile_h", "pops_per_iter", "track_prim",
+                     "defer_leaves", "descent_order"),
 )
 def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
-                           pops_per_iter=1, active=None, track_prim=False):
+                           pops_per_iter=1, active=None, track_prim=False,
+                           defer_leaves=False, descent_order="dir"):
     n_rows = origins.shape[0] // TILE_W
     if active is None:
         active = jnp.ones(origins.shape[0], jnp.float32)
@@ -1001,7 +1114,7 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
     comps = [c.reshape(n_rows, TILE_W) for c in comps]
     grid = (pl.cdiv(n_rows, tile_h),)
     pairs = _with_dummy_row(packed.pairs)
-    _check_stack_depth(packed.depth, pops_per_iter)
+    _check_stack_depth(packed.depth, pops_per_iter, defer_leaves)
     kernel = functools.partial(
         _intersect_only_kernel,
         root=packed.root,
@@ -1011,6 +1124,8 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
         dummy_row=packed.pairs.shape[0],
         track_prim=track_prim,
         leaf_form=getattr(packed, "form", "mt"),
+        defer_leaves=defer_leaves,
+        descent_order=descent_order,
     )
     n_out = 6 if track_prim else 5
     block = pl.BlockSpec(
@@ -1047,7 +1162,8 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
 
 
 def intersect_tile(packed, origins, dirs, *, interpret=False,
-                   tile_h=TILE_H, pops_per_iter=1):
+                   tile_h=TILE_H, pops_per_iter=1, defer_leaves=False,
+                   descent_order="dir"):
     """Nearest-hit query through the packet kernel (testing/debug API).
 
     origins/dirs: (N, 3) with N a multiple of tile_h*128.  Returns
@@ -1058,6 +1174,7 @@ def intersect_tile(packed, origins, dirs, *, interpret=False,
     t, nx, ny, nz, mid = _intersect_tile_launch(
         packed, jnp.asarray(origins), jnp.asarray(dirs), interpret,
         tile_h=tile_h, pops_per_iter=pops_per_iter,
+        defer_leaves=defer_leaves, descent_order=descent_order,
     )
     return t, jnp.stack([nx, ny, nz], axis=-1), mid.astype(jnp.int32)
 
@@ -1087,6 +1204,7 @@ def pack_materials_jnp(materials):
         "inclusive_uv", "interpret", "tile_h", "pops_per_iter",
         "n_rows", "normalize", "mxu_leaf", "mxu_precision", "counters",
         "leaf_precision", "leaf_broadcast", "leaf_gate", "slab_precision",
+        "defer_leaves", "descent_order",
     ),
 )
 def _launch(
@@ -1095,6 +1213,7 @@ def _launch(
     pops_per_iter=1, n_rows=None, normalize=True, mxu_leaf=False,
     mxu_precision="highest", counters=False, leaf_precision="fp32",
     leaf_broadcast="extract", leaf_gate=False, slab_precision="fp32",
+    defer_leaves=False, descent_order="dir",
 ):
     if mxu_leaf:
         # pair-record tree whose leaves are Plücker superleaf blocks
@@ -1109,7 +1228,7 @@ def _launch(
         max_leaf = packed.max_leaf
         rows_per_leaf = -(-max_leaf // TRIS_PER_ROW)
     # meta fields of the BVH pytree are concrete (part of the jit key)
-    _check_stack_depth(packed.depth, pops_per_iter)
+    _check_stack_depth(packed.depth, pops_per_iter, defer_leaves)
     root = packed.root
 
     cam_arr = mk.pack_camera_jnp(camera)
@@ -1139,6 +1258,7 @@ def _launch(
         leaf_gate=leaf_gate,
         leaf_form=getattr(packed, "form", "mt") if not mxu_leaf else "mt",
         slab_precision=slab_precision,
+        defer_leaves=defer_leaves, descent_order=descent_order,
     )
     # under shard_map the outputs vary across the mesh axes the inputs do;
     # jax requires that declared on the out ShapeDtypeStructs (vma)
@@ -1177,7 +1297,7 @@ def _launch(
         )
         out_shapes = out_shapes + (ctr_shape,)
         out_specs = out_specs + (block,)
-        scratch = scratch + [pltpu.SMEM((6,), jnp.int32)]
+        scratch = scratch + [pltpu.SMEM((8,), jnp.int32)]
     return pl.pallas_call(
         kernel,
         grid=(grid_h, grid_w),
@@ -1306,6 +1426,8 @@ def render_flat_bvh_megakernel(
     leaf_broadcast: str = "extract",
     leaf_gate: bool = False,
     slab_precision: str = "fp32",
+    defer_leaves: bool = False,
+    descent_order: str = "dir",
 ):
     """Pallas packet-BVH render → flat (H*W, 3) bottom-up HDR buffer.
 
@@ -1364,6 +1486,8 @@ def render_flat_bvh_megakernel(
         leaf_broadcast=leaf_broadcast,
         leaf_gate=leaf_gate,
         slab_precision=slab_precision,
+        defer_leaves=defer_leaves,
+        descent_order=descent_order,
     )
     return mk._crop_flat(r, g, b, width, height)
 
@@ -1382,17 +1506,22 @@ def render_bvh_with_counters(
     tile_h: int = 32,
     pops_per_iter: int | None = None,
     leaf_gate: bool = False,
+    defer_leaves: bool = False,
+    descent_order: str = "dir",
 ):
     """The packet render plus its measured work counters.
 
     Returns ``(flat_rgb, counters)`` where counters is a dict of totals
     over the whole dispatch (all tiles × spp × bounces): ``pop_batches``,
-    ``leaf_visits``, ``pushes``, ``traversals``.  The optimization
-    scoreboard for the mesh-throughput work: with per-op costs, time ≈
-    pop_batches·c_pop + leaf_visits·c_leaf, fit across scenes/configs.
-    Counter collection adds only scalar-unit work (a few SMEM adds per
-    pop batch); throughput impact is ~noise, but use the plain entry
-    point for benchmarking numbers.
+    ``leaf_visits``, ``pushes``, ``traversals``, plus the bounce-resolved
+    ``leaf_visits_primary`` (bounce-0 share; secondary = total − primary)
+    and, under ``defer_leaves``, ``leaf_retests_culled`` (deferred visits
+    the matured best_t killed).  The optimization scoreboard for the
+    mesh-throughput work: with per-op costs, time ≈ pop_batches·c_pop +
+    leaf_visits·c_leaf, fit across scenes/configs.  Counter collection
+    adds only scalar-unit work (a few SMEM adds per pop batch);
+    throughput impact is ~noise, but use the plain entry point for
+    benchmarking numbers.
     """
     tree = _require_tree(scene, False)
     if pops_per_iter is None:
@@ -1419,10 +1548,13 @@ def render_bvh_with_counters(
         pops_per_iter=pops_per_iter,
         counters=True,
         leaf_gate=leaf_gate,
+        defer_leaves=defer_leaves,
+        descent_order=descent_order,
     )
     c = np.asarray(ctr)
     names = ("pop_batches", "leaf_visits", "pushes", "traversals",
-             "leaf_blocks_run", "leaf_blocks_total")
+             "leaf_blocks_run", "leaf_blocks_total",
+             "leaf_visits_primary", "leaf_retests_culled")
     totals = {
         name: int(c[::tile_h, k::TILE_W].sum())
         for k, name in enumerate(names)
@@ -1514,6 +1646,13 @@ def make_sorted_tile_intersect(
         if grad:
             from ..accel.traverse import _winner_triangle_hit
 
+            if packed.prim_map is None:
+                raise ValueError(
+                    "grad-mode packet intersect needs PackedBVH.prim_map "
+                    "(slot -> original triangle); re-pack the scene with "
+                    "spira_tpu.accel.pairs.attach_packed — pre-round-4 "
+                    "pickled PackedBVH objects lack it"
+                )
             # stop_gradient on EVERY kernel input (incl. the packed tables,
             # which are float leaves of the differentiated scene pytree):
             # pallas_call has no JVP rule; traversal is a discrete choice

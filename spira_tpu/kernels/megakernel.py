@@ -319,9 +319,16 @@ def trace_tile(
         alive = jnp.ones_like(dx, dtype=jnp.bool_)
 
         for b in range(max_depth):
-            hit, (px, py, pz), (nx, ny, nz), mats = intersect_fn(
-                (ox, oy, oz), (dx, dy, dz), alive
-            )
+            # the bounce loop is a static unroll: providers that advertise
+            # wants_bounce get the bounce index (bounce-resolved counters)
+            if getattr(intersect_fn, "wants_bounce", False):
+                hit, (px, py, pz), (nx, ny, nz), mats = intersect_fn(
+                    (ox, oy, oz), (dx, dy, dz), alive, bounce=b
+                )
+            else:
+                hit, (px, py, pz), (nx, ny, nz), mats = intersect_fn(
+                    (ox, oy, oz), (dx, dy, dz), alive
+                )
             (m_ar, m_ag, m_ab, m_er, m_eg, m_eb, m_metal, m_rough, m_ior,
              m_trans) = mats
             # ---- miss: sky gradient (MSL kernel :196-199)

@@ -88,6 +88,7 @@ def render_progressive(scene, camera, cfg: RenderConfig, mesh=None) -> np.ndarra
         cfg.width, cfg.height, cfg.spp, cfg.max_depth, enabled=cfg.progress
     )
     meter.samples_done = done
+    saver = ckpt.AsyncSaver()
 
     while done < cfg.spp:
         take = min(chunk, cfg.spp - done)
@@ -126,7 +127,11 @@ def render_progressive(scene, camera, cfg: RenderConfig, mesh=None) -> np.ndarra
         done += take
         meter.update(done)
         if cfg.checkpoint_dir and done < cfg.spp:
-            ckpt.save_render_state(
+            # off-thread: the device→host fetch + write of this chunk's
+            # state overlaps the next chunk's render (round-5 fix for the
+            # config-5 checkpoint overhead; AsyncSaver docstring)
+            saver.submit(
+                ckpt.save_render_state,
                 cfg.checkpoint_dir,
                 accumulator=acc,
                 samples_done=done,
@@ -134,6 +139,7 @@ def render_progressive(scene, camera, cfg: RenderConfig, mesh=None) -> np.ndarra
                 config_json=cfg.to_json(),
             )
 
+    saver.wait()
     flat = acc / jnp.float32(cfg.spp)
     return np.asarray(img_io.assemble_image(flat, cfg.width, cfg.height))
 
@@ -154,6 +160,8 @@ def render_adaptive(
     return_stats: bool = False,
     intersect_fn="auto",
     mesh=None,
+    granularity: str = "row",
+    statistic: str = "auto",
 ):
     """Variance-guided progressive render: rows stop sampling once their
     pixels' luminance confidence intervals converge (new-build; the
@@ -180,6 +188,27 @@ def render_adaptive(
     scale, with the convergence ledger on the host as before.  ``chunk``
     must divide by the spp-axis size.
 
+    ``granularity``: the independently-retiring dispatch unit — ``"row"``
+    (whole image rows, the round-≤4 behavior) or ``"block"`` (128-pixel
+    row segments via :func:`spira_tpu.render.accumulate_block_set`).
+    Rows proved too coarse for ``tol`` to matter: 640-pixel rows are
+    heterogeneous, so their quantile-CI distributions are bimodal and
+    every useful tolerance picks the same rows (round-4 battery: three
+    tolerances, byte-identical savings).  Blocks are ~5x finer and
+    spatially homogeneous (sky blocks retire at min_spp, silhouette
+    blocks late), giving the tolerance a real operating range.
+
+    ``statistic``: what ``tol`` bounds — ``"quantile"`` (the ``quantile``
+    of the segment's per-pixel relative half-CI95; the round-≤4 rule) or
+    ``"mean"`` (the relative half-CI95 of the segment's MEAN luminance).
+    Per-pixel MC CIs span orders of magnitude with a gap across the
+    useful band (a converged sky pixel sits at ~1e-3, any pixel with
+    bounce noise at ≳0.2 even at a 64-spp cap), which is exactly the
+    measured dead-knob bimodality; averaging seg_w pixels compresses the
+    statistic ~sqrt(seg_w)x into the band where tolerances live, so the
+    knob selects materially different operating points.  ``"auto"`` picks
+    ``"mean"`` for blocks and ``"quantile"`` for rows (back-compat).
+
     Returns the (H, W, 3) HDR image; with ``return_stats=True`` also a
     dict with total/uniform sample counts and the per-row spp map.
     """
@@ -189,6 +218,42 @@ def render_adaptive(
         raise ValueError(f"spp must be >= 1, got {max_spp}")
     min_spp = min(min_spp, max_spp)
     base = srng.base_key(cfg.seed)
+
+    if granularity == "block":
+        if mesh is not None:
+            raise NotImplementedError(
+                "block-granularity adaptive sampling is single-device; "
+                "use granularity='row' with a mesh"
+            )
+        if W % 128:
+            raise ValueError(f"granularity='block' needs W % 128 == 0, "
+                             f"got {W}")
+        nbx, seg_w = W // 128, 128
+    elif granularity == "row":
+        nbx, seg_w = 1, W
+    else:
+        raise ValueError(f"unknown granularity {granularity!r}")
+    if statistic == "auto":
+        statistic = "mean" if granularity == "block" else "quantile"
+    if statistic not in ("mean", "quantile"):
+        raise ValueError(f"unknown statistic {statistic!r}")
+    n_segs = H * nbx
+    _lane = np.arange(seg_w)
+
+    def seg_gather(arr, segs):
+        """(r, seg_w) view of a per-pixel (H, W[, C]) ledger array."""
+        if granularity == "row":
+            return arr[segs]
+        ci = (segs % nbx)[:, None] * seg_w + _lane[None, :]
+        return arr[(segs // nbx)[:, None], ci]
+
+    def seg_add(arr, segs, vals):
+        """Scatter-add per-segment results into a per-pixel ledger."""
+        if granularity == "row":
+            arr[segs] += vals
+        else:
+            ci = (segs % nbx)[:, None] * seg_w + _lane[None, :]
+            arr[(segs // nbx)[:, None], ci] += vals
 
     if intersect_fn == "auto":
         # packed mesh scenes on TPU route every bounce's nearest-hit through
@@ -204,7 +269,7 @@ def render_adaptive(
     acc = np.zeros((H, W, 3), np.float32)
     lum = np.zeros((H, W), np.float64)
     lum2 = np.zeros((H, W), np.float64)
-    counts = np.zeros((H,), np.int64)
+    counts = np.zeros((n_segs,), np.int64)
 
     meter = RenderMeter(W, H, max_spp, cfg.max_depth, enabled=cfg.progress)
 
@@ -216,8 +281,8 @@ def render_adaptive(
         )
     chunk = -(-chunk // n_spp_axis) * n_spp_axis  # round UP to the axis
 
-    active = np.arange(H, dtype=np.int32)
-    spp_done = 0  # rows retire together, so actives share one count
+    active = np.arange(n_segs, dtype=np.int32)
+    spp_done = 0  # segments retire together, so actives share one count
     sample_base = 0
 
     # the stopping hyperparameters AND the mesh shape live in the manifest
@@ -225,7 +290,8 @@ def render_adaptive(
     # decisions and draw the same streams (the sharded path folds tile ids
     # into keys, so a different mesh breaks bit-exact resume)
     hyper = dict(tol=tol, min_spp=min_spp, chunk=chunk, quantile=quantile,
-                 mesh=[n_tile, n_spp_axis])
+                 mesh=[n_tile, n_spp_axis], granularity=granularity,
+                 statistic=statistic)
     if cfg.checkpoint_dir:
         state = ckpt.load_adaptive_state(cfg.checkpoint_dir)
         if state is not None:
@@ -242,25 +308,34 @@ def render_adaptive(
                 )
             else:
                 logger.warning("checkpoint config mismatch — starting fresh")
-    meter.samples_done = int(counts.sum() / H)
+    meter.samples_done = int(counts.sum() / n_segs)
 
-    dispatched = 0  # row-samples actually executed, padding included
+    dispatched = 0  # segment-samples actually executed, padding included
     while active.size and spp_done < max_spp:
         take = int(min(chunk, max_spp - spp_done))
         r = active.size
         # pad to n_tile * pow2 so each device takes an equal contiguous
-        # slice and the whole render compiles O(log2 H) programs — but
-        # never past the full image height (the early all-rows rounds
+        # slice and the whole render compiles O(log2 n_segs) programs —
+        # but never past the full image (the early all-segments rounds
         # would otherwise pad 1080 -> 2048 and burn real work)
         r_pad = min(
             n_tile * _next_pow2(-(-r // n_tile)),
-            n_tile * (-(-H // n_tile)),
+            n_tile * (-(-n_segs // n_tile)),
         )
         dispatched += r_pad * take
         rows = np.concatenate(
             [active, np.full(r_pad - r, int(active[0]), np.int32)]
         )
-        if mesh is not None:
+        if granularity == "block":
+            from .render import accumulate_block_set
+
+            a, l, l2 = accumulate_block_set(
+                scene, camera, base, jnp.asarray(rows),
+                jnp.int32(sample_base), width=W, height=H, n_samples=take,
+                max_depth=cfg.max_depth, semantics=cfg.semantics,
+                spectral=cfg.spectral, intersect_fn=intersect_fn,
+            )
+        elif mesh is not None:
             from .parallel.sharded import accumulate_row_set_sharded
 
             a, l, l2 = accumulate_row_set_sharded(
@@ -285,21 +360,29 @@ def render_adaptive(
                 spectral=cfg.spectral,
                 intersect_fn=intersect_fn,
             )
-        acc[active] += np.asarray(a).reshape(r_pad, W, 3)[:r]
-        lum[active] += np.asarray(l).reshape(r_pad, W)[:r]
-        lum2[active] += np.asarray(l2).reshape(r_pad, W)[:r]
+        seg_add(acc, active, np.asarray(a).reshape(r_pad, seg_w, 3)[:r])
+        seg_add(lum, active, np.asarray(l).reshape(r_pad, seg_w)[:r])
+        seg_add(lum2, active, np.asarray(l2).reshape(r_pad, seg_w)[:r])
         counts[active] += take
         spp_done += take
         sample_base += take
-        meter.update(int(counts.sum() / H))
+        meter.update(int(counts.sum() / n_segs))
 
         if spp_done >= min_spp and spp_done > 1:
             n = float(spp_done)
-            mean = lum[active] / n
-            var = np.maximum(lum2[active] / n - mean * mean, 0.0)
+            mean = seg_gather(lum, active) / n
+            var = np.maximum(seg_gather(lum2, active) / n - mean * mean, 0.0)
             var *= n / (n - 1.0)
-            rel_ci = 1.96 * np.sqrt(var / n) / (np.abs(mean) + 1e-3)
-            row_err = np.quantile(rel_ci, quantile, axis=1)
+            if statistic == "mean":
+                # relative half-CI95 of the segment's MEAN luminance:
+                # Var(mean of seg_w independent pixel means) =
+                # sum(var_i) / seg_w^2 / n
+                m_seg = mean.mean(axis=1)
+                se = np.sqrt(var.sum(axis=1) / n) / seg_w
+                row_err = 1.96 * se / (np.abs(m_seg) + 1e-3)
+            else:
+                rel_ci = 1.96 * np.sqrt(var / n) / (np.abs(mean) + 1e-3)
+                row_err = np.quantile(rel_ci, quantile, axis=1)
             active = active[row_err > tol]
 
         if cfg.checkpoint_dir and active.size and spp_done < max_spp:
@@ -312,19 +395,24 @@ def render_adaptive(
                 config_json=cfg.to_json(),
             )
 
-    img = acc / counts[:, None, None].astype(np.float32)
+    # per-pixel spp: expand the per-segment count map over its pixels
+    pix_counts = np.repeat(counts.reshape(H, nbx), seg_w, axis=1)
+    img = acc / pix_counts[:, :, None].astype(np.float32)
     img = img[::-1]  # bottom-up rows -> top-down image (assemble_image flip)
     if not return_stats:
         return img
+    spp_map = counts.reshape(H, nbx)[::-1]  # top-down, like the image
     stats = {
-        "total_samples": int(counts.sum()) * W,
+        "total_samples": int(counts.sum()) * seg_w,
         # padding included: what the hardware really ran — compare THIS to
         # uniform_samples for the honest win (savings counts image samples)
-        "dispatched_samples": int(dispatched) * W,
+        "dispatched_samples": int(dispatched) * seg_w,
         "uniform_samples": H * W * max_spp,
-        "savings": 1.0 - counts.sum() / float(H * max_spp),
-        "dispatch_savings": 1.0 - dispatched / float(H * max_spp),
-        "spp_per_row": counts[::-1].copy(),  # top-down, like the image
+        "savings": 1.0 - counts.sum() * seg_w / float(H * W * max_spp),
+        "dispatch_savings": 1.0 - dispatched * seg_w / float(H * W * max_spp),
+        "spp_per_row": spp_map.mean(axis=1),  # per-row mean (back-compat)
+        "spp_map": spp_map,  # (H, W/seg_w) per-segment counts
+        "granularity": granularity,
         "tol": tol,
     }
     return img, stats

@@ -298,6 +298,68 @@ def accumulate_row_set(
     return acc, lum, lum2
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "width", "height", "n_samples", "max_depth", "semantics",
+        "inclusive_uv", "spectral", "intersect_fn", "block_w",
+    ),
+)
+def accumulate_block_set(
+    scene,
+    camera,
+    base_key,
+    blocks,
+    sample_base,
+    *,
+    width: int,
+    height: int,
+    n_samples: int,
+    max_depth: int,
+    semantics: str = "physical",
+    inclusive_uv: bool = True,
+    spectral: bool = False,
+    intersect_fn=None,
+    block_w: int = 128,
+):
+    """Sum ``n_samples`` radiance estimates for an arbitrary SET of
+    ``block_w``-pixel row segments (the fine-granularity twin of
+    :func:`accumulate_row_set` — the round-5 adaptive sampler's dispatch
+    unit, so 128-pixel blocks retire independently instead of whole rows).
+
+    Returns ``(acc (B*block_w, 3), lum (B*block_w,), lum2 (B*block_w,))``.
+    """
+
+    @jax.checkpoint
+    def sample_step(carry, k):
+        acc, lum, lum2 = carry
+        skey = srng.sample_key(base_key, sample_base + k)
+        origins, dirs = generate_rays(
+            camera, width, height, skey, inclusive_uv=inclusive_uv,
+            blocks=blocks, block_w=block_w,
+        )
+        if spectral:
+            radiance = trace_spectral(
+                scene, origins, dirs, skey, max_depth=max_depth,
+                intersect_fn=intersect_fn,
+            )
+        else:
+            radiance = trace(
+                scene, origins, dirs, skey, max_depth=max_depth,
+                semantics=semantics, intersect_fn=intersect_fn,
+            )
+        y = radiance @ _LUMA
+        return (acc + radiance, lum + y, lum2 + y * y), None
+
+    n = int(blocks.shape[0]) * block_w
+    zero3 = jnp.zeros((n, 3), jnp.float32)
+    zero1 = jnp.zeros((n,), jnp.float32)
+    (acc, lum, lum2), _ = jax.lax.scan(
+        sample_step, (zero3, zero1, zero1), jnp.arange(n_samples)
+    )
+    return acc, lum, lum2
+
+
 def select_engine(
     scene, semantics: str, spectral: bool, engine: str = "auto", camera=None
 ):

@@ -95,7 +95,8 @@ def default_camera(aspect_ratio) -> Camera:
 
 def generate_rays(camera: Camera, width: int, height: int, key, *,
                   inclusive_uv: bool = True, row_start: int = 0,
-                  n_rows: int | None = None, rows=None):
+                  n_rows: int | None = None, rows=None, blocks=None,
+                  block_w: int = 128):
     """Jittered primary rays for a row-range of pixels, flattened to a
     (n_rows*W,) wavefront.
 
@@ -114,7 +115,29 @@ def generate_rays(camera: Camera, width: int, height: int, key, *,
     SET instead of a contiguous range — the adaptive sampler dispatches only
     its unconverged rows this way.  Ray ``r = i * W + col`` covers
     ``rows[i]``; the caller owns key freshness across dispatches.
+
+    ``blocks`` (a (B,) int32 array, may be traced) selects an arbitrary set
+    of ``block_w``-pixel row SEGMENTS instead (block id = row * (W //
+    block_w) + col_block; requires W % block_w == 0) — the finer adaptive
+    granularity where segments, not whole rows, retire independently.
+    Ray ``r = i * block_w + lane`` covers lane ``lane`` of ``blocks[i]``.
     """
+    if blocks is not None:
+        if width % block_w:
+            raise ValueError(
+                f"block-set raygen needs width % {block_w} == 0, got {width}"
+            )
+        nbx = width // block_w
+        n_blocks = int(blocks.shape[0])
+        n = n_blocks * block_w
+        jit_key = srng.bounce_key(key, 0, srng.Stream.PIXEL_JITTER)
+        jitter = srng.uniform(jit_key, (n, 2))
+        idx = jnp.arange(n, dtype=jnp.int32)
+        b = blocks[idx // block_w]
+        col = ((b % nbx) * block_w + idx % block_w).astype(jnp.float32)
+        row = (b // nbx).astype(jnp.float32)
+        return _rays_from_uv(camera, width, height, key, jitter, col, row,
+                             inclusive_uv, n)
     if rows is not None:
         n_rows = int(rows.shape[0])
         n = width * n_rows

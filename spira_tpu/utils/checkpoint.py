@@ -17,12 +17,49 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import jax
 import numpy as np
 
 MANIFEST = "manifest.json"
 ARRAYS = "arrays.npz"
+
+
+class AsyncSaver:
+    """One-deep async checkpoint writer.
+
+    ``submit(fn, ...)`` joins the previous write then runs ``fn`` on a
+    fresh thread, so the device→host fetch + file write of chunk k
+    overlaps chunk k+1's render (the snapshot-async-then-write-off-thread
+    shape).  Atomicity is unchanged: writers still go tmp→os.replace, and
+    a SIGKILL mid-write leaves the previous complete checkpoint intact.
+    Call ``wait()`` before reading checkpoint files back or exiting.
+    """
+
+    def __init__(self):
+        self._thread: threading.Thread | None = None
+        self._exc: BaseException | None = None
+
+    def submit(self, fn, *args, **kwargs) -> None:
+        self.wait()
+
+        def run():
+            try:
+                fn(*args, **kwargs)
+            except BaseException as e:  # surfaced at the next submit/wait
+                self._exc = e
+
+        self._thread = threading.Thread(target=run, daemon=True)
+        self._thread.start()
+
+    def wait(self) -> None:
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise exc
 
 
 def _flatten_with_paths(tree):
@@ -42,10 +79,18 @@ def save_render_state(
     seed: int,
     config_json: str,
 ) -> None:
-    """Atomically persist a partial render."""
+    """Atomically persist a partial render.
+
+    Uncompressed on purpose: the accumulator is Monte-Carlo float noise
+    (zlib gains ~nothing) and compressing a config-5 frame (1920x1080x3
+    f32, ~25 MB) cost seconds PER CHUNK — the round-4 config-5 wall-time
+    regression.  ``accumulator`` may be a live device array; the host
+    fetch happens here, so callers can run this off-thread to overlap the
+    transfer+write with the next chunk's render.
+    """
     os.makedirs(directory, exist_ok=True)
     tmp = os.path.join(directory, ARRAYS + ".tmp.npz")
-    np.savez_compressed(tmp, accumulator=np.asarray(accumulator))
+    np.savez(tmp, accumulator=np.asarray(accumulator))
     os.replace(tmp, os.path.join(directory, ARRAYS))
     manifest = {
         "kind": "render",

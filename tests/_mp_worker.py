@@ -90,3 +90,38 @@ if dist.is_primary():
 np.save(os.path.join(outdir, f"grads_{proc_id}.npy"), grads)
 print(f"worker {proc_id}: ok image={img.shape} gmax={np.abs(grads).max():.6f}",
       flush=True)
+
+# ---- phase 2: the PRODUCTION MESH PATH across the process boundary
+# (round-4 verdict gap: the packet engine + packet-hook backward had only
+# ever run multi-device inside one process).  Sharded packet-BVH forward
+# (bvh_rows under shard_map, interpret mode on CPU) + one train step whose
+# backward replays through the differentiable packet hook, with the
+# gradient all-reduce crossing processes.
+from spira_tpu.accel.pairs import attach_packed  # noqa: E402
+from spira_tpu.diff.inverse import make_inverse_step  # noqa: E402
+from spira_tpu.parallel.mesh import replicate  # noqa: E402
+from spira_tpu.parallel.sharded import render_flat_sharded as _rfs  # noqa: E402
+from spira_tpu.scene.scene import create_mesh_scene  # noqa: E402
+
+mscene = replicate(attach_packed(create_mesh_scene(subdivisions=1)), mesh)
+mcam = replicate(cam, mesh)
+mflat = _rfs(
+    mscene, mcam, width=W, height=H, mesh=mesh, spp=SPP, max_depth=DEPTH,
+    engine="pallas_bvh_interpret",
+)
+mimg = dist.gather_image(mflat)
+
+mstep, minit = make_inverse_step(
+    width=W, height=H, spp=SPP, max_depth=DEPTH, mesh=mesh,
+    intersect="packet_interpret",
+)
+mparams = {"albedo": mscene.materials.albedo * 0.5}
+mopt = minit(mparams)
+mparams, mopt, mloss = mstep(mparams, mopt, mscene, mcam, mflat, 0)
+mupd = np.asarray(jax.device_get(mparams["albedo"]))
+
+if dist.is_primary():
+    np.save(os.path.join(outdir, "mesh_image.npy"), mimg)
+np.save(os.path.join(outdir, f"mesh_params_{proc_id}.npy"), mupd)
+print(f"worker {proc_id}: mesh ok loss={float(mloss):.6f} "
+      f"pmax={np.abs(mupd).max():.6f}", flush=True)

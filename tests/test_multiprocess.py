@@ -86,3 +86,28 @@ def test_two_process_render_and_grads(tmp_path):
         )
     )
     np.testing.assert_allclose(img, ref, rtol=1e-4, atol=1e-5)
+
+    # ---- the production mesh path crossed the process boundary too:
+    # packet-BVH forward + packet-hook backward train step (phase 2)
+    m0 = np.load(tmp_path / "mesh_params_0.npy")
+    m1 = np.load(tmp_path / "mesh_params_1.npy")
+    assert np.isfinite(m0).all()
+    # identical post-step params across processes == the psum'd gradient
+    # (and Adam update) agreed bitwise across the process boundary
+    np.testing.assert_array_equal(m0, m1)
+
+    # multi-process packet-BVH frame == single-process frame through the
+    # same kernel (PCG keyed on absolute pixel/sample ids)
+    mesh_img = np.load(tmp_path / "mesh_image.npy")
+    from spira_tpu.accel.pairs import attach_packed
+    from spira_tpu.kernels.bvh_megakernel import render_flat_bvh_megakernel
+    from spira_tpu.scene.scene import create_mesh_scene
+
+    mscene = attach_packed(create_mesh_scene(subdivisions=1))
+    mref = np.asarray(
+        render_flat_bvh_megakernel(
+            mscene, cam, width=W, height=H, spp=SPP, max_depth=DEPTH,
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(mesh_img, mref, rtol=1e-4, atol=1e-5)
