@@ -78,6 +78,8 @@ def main() -> None:
         "defer+mixed": dict(defer_leaves=True, descent_order="mixed"),
         "mixed+t64": dict(descent_order="mixed", tile_h=64),
         "mixed+k8": dict(descent_order="mixed", pops_per_iter=8),
+        "bounce": dict(descent_order="bounce"),
+        "mixed4": dict(descent_order="mixed4"),
     }
     names = (args.variants.split(",") if args.variants
              else ["baseline", "mixed", "defer", "defer+mixed"])

@@ -157,7 +157,7 @@ def make_packet_intersect(
     leaf_form="mt",
     slab_dtype=jnp.float32,
     defer_leaves=False,
-    descent_order="dir",
+    descent_order="mixed",
 ):
     """Build the ``intersect_fn`` plugged into ``trace_tile``.
 
@@ -194,6 +194,13 @@ def make_packet_intersect(
                 *mxu_refs, bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
                 o3, d3, precision=mxu_precision,
             )
+        order = descent_order
+        if order == "bounce":
+            # static regime split (the bounce index is a Python int in
+            # trace_tile's unrolled loop): coherent primary packets order
+            # by mean-ray projection, scattered secondaries by
+            # near-origin-first distance — no blend arithmetic at all
+            order = "dir" if bounce == 0 else "dist"
         run_packet_traversal(
             pairs_ref, tris_ref, stack_ref,
             bt_ref, tnx_ref, tny_ref, tnz_ref, mid_ref,
@@ -204,7 +211,7 @@ def make_packet_intersect(
             leaf_dtype=leaf_dtype, leaf_broadcast=leaf_broadcast,
             leaf_gate=leaf_gate, leaf_form=leaf_form,
             slab_dtype=slab_dtype,
-            defer_leaves=defer_leaves, descent_order=descent_order,
+            defer_leaves=defer_leaves, descent_order=order,
             primary=(bounce == 0),
         )
 
@@ -362,7 +369,7 @@ def run_packet_traversal(
     leaf_form="mt",
     slab_dtype=jnp.float32,
     defer_leaves: bool = False,
-    descent_order: str = "dir",
+    descent_order: str = "mixed",
     primary: bool = False,
 ):
     """The shared packet traversal loop: runs the SMEM-stack tree walk and
@@ -397,11 +404,15 @@ def run_packet_traversal(
     ~10x-costlier triangle loop (lazy leaf processing, the standard
     packet-tracing refinement the inline form trades away).
 
-    ``descent_order``: ``"dir"`` — project child centers on the packet's
-    mean ray (best for coherent packets); ``"mixed"`` — blend in
-    distance-to-mean-origin weighted by (1 - |mean dir|^2), so decohered
-    secondary packets (mean dir ~ 0, origins still clustered on the
-    scattering surface) fall back to near-origin-first ordering.
+    ``descent_order``: ``"mixed"`` (default) — project child centers on
+    the packet's mean ray, blended with distance-to-mean-origin weighted
+    by (1 - |mean dir|^2), so decohered secondary packets (mean dir ~ 0,
+    origins still clustered on the scattering surface) fall back to
+    near-origin-first ordering — measured +13-17% over ``"dir"`` on v5e
+    (bunny 26.2→29.6, mesh5440 54.6→63.9 Mrays/s) with bitwise-identical
+    images (traversal order cannot change the nearest hit).  ``"dir"`` is
+    the round-≤4 pure-projection order; ``"dist"`` full-weight distance
+    (A/B probe, within noise of mixed on divergent scenes).
 
     ``primary``: statically marks bounce-0 traversals; with ``ctr_ref``
     the leaf-visit count is additionally accumulated into slot [6]
@@ -467,6 +478,12 @@ def run_packet_traversal(
         # over when directions decohere (scatter packets keep clustered
         # origins even when the direction projection is noise)
         wfar = jnp.maximum(
+            1.0 - (dmx * dmx + dmy * dmy + dmz * dmz), 0.0
+        )
+    elif descent_order == "mixed4":
+        # boosted blend weight (A/B probe): distance term dominates
+        # sooner as coherence decays
+        wfar = 4.0 * jnp.maximum(
             1.0 - (dmx * dmx + dmy * dmy + dmz * dmz), 0.0
         )
     elif descent_order == "dist":
@@ -839,7 +856,7 @@ def run_packet_traversal(
                     + (0.5 * (loy + hiy) - omy) * dmy
                     + (0.5 * (loz + hiz) - omz) * dmz
                 )
-                if descent_order in ("mixed", "dist"):
+                if descent_order in ("mixed", "mixed4", "dist"):
                     cx = 0.5 * (lox + hix) - omx
                     cy = 0.5 * (loy + hiy) - omy
                     cz = 0.5 * (loz + hiz) - omz
@@ -964,7 +981,7 @@ def _kernel(
     has_lens=False, normalize=True, use_mxu=False, mxu_precision="highest",
     counters=False, leaf_precision="fp32", leaf_broadcast="extract",
     leaf_gate=False, leaf_form="mt", slab_precision="fp32",
-    defer_leaves=False, descent_order="dir",
+    defer_leaves=False, descent_order="mixed",
 ):
     ctr_ref = out_ctr = None
     if counters:
@@ -1061,7 +1078,7 @@ def _intersect_only_kernel(
     *rest,
     root, rows_per_leaf, max_leaf, pops_per_iter, dummy_row,
     track_prim=False, leaf_form="mt", defer_leaves=False,
-    descent_order="dir",
+    descent_order="mixed",
 ):
     if track_prim:
         (out_t, out_nx, out_ny, out_nz, out_mid, out_sid,
@@ -1102,7 +1119,7 @@ def _intersect_only_kernel(
 )
 def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
                            pops_per_iter=1, active=None, track_prim=False,
-                           defer_leaves=False, descent_order="dir"):
+                           defer_leaves=False, descent_order="mixed"):
     n_rows = origins.shape[0] // TILE_W
     if active is None:
         active = jnp.ones(origins.shape[0], jnp.float32)
@@ -1163,7 +1180,7 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
 
 def intersect_tile(packed, origins, dirs, *, interpret=False,
                    tile_h=TILE_H, pops_per_iter=1, defer_leaves=False,
-                   descent_order="dir"):
+                   descent_order="mixed"):
     """Nearest-hit query through the packet kernel (testing/debug API).
 
     origins/dirs: (N, 3) with N a multiple of tile_h*128.  Returns
@@ -1213,7 +1230,7 @@ def _launch(
     pops_per_iter=1, n_rows=None, normalize=True, mxu_leaf=False,
     mxu_precision="highest", counters=False, leaf_precision="fp32",
     leaf_broadcast="extract", leaf_gate=False, slab_precision="fp32",
-    defer_leaves=False, descent_order="dir",
+    defer_leaves=False, descent_order="mixed",
 ):
     if mxu_leaf:
         # pair-record tree whose leaves are Plücker superleaf blocks
@@ -1338,6 +1355,8 @@ def bvh_rows(
     leaf_precision: str = "fp32",
     leaf_broadcast: str = "extract",
     leaf_gate: bool = False,
+    defer_leaves: bool = False,
+    descent_order: str = "mixed",
 ):
     """Packet-BVH tracer over a row-range — the shard body of the
     tile/spp-sharded mesh renderer (the packet twin of
@@ -1384,6 +1403,8 @@ def bvh_rows(
         leaf_precision=leaf_precision,
         leaf_broadcast=leaf_broadcast,
         leaf_gate=leaf_gate,
+        defer_leaves=defer_leaves,
+        descent_order=descent_order,
     )
     return mk._crop_flat(r, g, b, width, n_rows)
 
@@ -1427,7 +1448,7 @@ def render_flat_bvh_megakernel(
     leaf_gate: bool = False,
     slab_precision: str = "fp32",
     defer_leaves: bool = False,
-    descent_order: str = "dir",
+    descent_order: str = "mixed",
 ):
     """Pallas packet-BVH render → flat (H*W, 3) bottom-up HDR buffer.
 
@@ -1507,7 +1528,7 @@ def render_bvh_with_counters(
     pops_per_iter: int | None = None,
     leaf_gate: bool = False,
     defer_leaves: bool = False,
-    descent_order: str = "dir",
+    descent_order: str = "mixed",
 ):
     """The packet render plus its measured work counters.
 

@@ -22,8 +22,10 @@ import math
 
 #: Measured VPU vector-issue rate on v5e (lane-ops/s), counting every
 #: vector instruction (mul/add/min/max/cmp/select) as one op per lane and
-#: an FMA as two.  From benchmarks/vpu_peak.py; re-measure per chip class.
-VPU_LANE_OPS_PER_S = 2.30e12
+#: an FMA as two.  Measured round-5 by benchmarks/vpu_peak.py (register-
+#: resident fma+min chains, 8-way ILP): 5607 G lane-ops/s on the bench
+#: chip.  Re-measure per chip class.
+VPU_LANE_OPS_PER_S = 5.607e12
 
 #: Vector lane-ops per triangle in the Baldwin–Weber leaf test
 #: (den 5, num 6, reciprocal+Newton 5, hit point 6, u 6, v 6,
