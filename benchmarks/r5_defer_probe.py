@@ -80,6 +80,9 @@ def main() -> None:
         "mixed+k8": dict(descent_order="mixed", pops_per_iter=8),
         "bounce": dict(descent_order="bounce"),
         "mixed4": dict(descent_order="mixed4"),
+        "mixed+t16": dict(descent_order="mixed", tile_h=16),
+        "mixed+t16k8": dict(descent_order="mixed", tile_h=16,
+                            pops_per_iter=8),
     }
     names = (args.variants.split(",") if args.variants
              else ["baseline", "mixed", "defer", "defer+mixed"])

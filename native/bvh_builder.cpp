@@ -279,3 +279,365 @@ int32_t spira_build_bvh(const float *lo, const float *hi, int32_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// SBVH: binned SAH with spatial splits (Stich, Friedrich & Dammertz, HPG
+// 2009), reference-duplicating.  Motivation (round-5 counters): leaf visits
+// are 77% of packet-traversal time and node overlap is what makes a packet
+// visit leaves it cannot hit — spatial splits trade duplicated references
+// for disjoint child boxes.  Triangles straddling the chosen plane are
+// clipped (true polygon clip when vertices are provided, box-clamp
+// otherwise) and referenced in BOTH children.  Leaves may therefore contain
+// duplicate primitive ids; every consumer (leaf packing, traversal, the
+// NumPy oracle) already tolerates that — re-testing a triangle is
+// idempotent for closest-hit.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Ref {
+  int32_t prim;
+  AABB box;
+};
+
+struct SBuild {
+  const float *va, *vb, *vc;  // (n,3) vertices or nullptr
+  int leaf_size;
+  float alpha_area;  // spatial splits allowed when child overlap > this
+  int32_t max_refs;
+  int32_t emitted = 0;
+  std::vector<float> node_min, node_max;
+  std::vector<int32_t> left, right, is_leaf;
+  std::vector<int32_t> prim_out;
+
+  int32_t alloc() {
+    node_min.insert(node_min.end(), {0, 0, 0});
+    node_max.insert(node_max.end(), {0, 0, 0});
+    left.push_back(0);
+    right.push_back(0);
+    is_leaf.push_back(0);
+    return static_cast<int32_t>(left.size()) - 1;
+  }
+};
+
+inline float axval(const Vec3 &v, int axis) {
+  return axis == 0 ? v.x : axis == 1 ? v.y : v.z;
+}
+
+// AABB of the triangle polygon clipped to slab [plane_lo, plane_hi] on
+// `axis`, intersected with `refbox` (which carries previous clips).
+AABB clip_tri(const SBuild &st, int32_t prim, const AABB &refbox, int axis,
+              float plane_lo, float plane_hi) {
+  AABB out;
+  if (st.va == nullptr) {
+    out = refbox;  // box clamp only
+  } else {
+    Vec3 poly[8], next[8];
+    poly[0] = {st.va[3 * prim], st.va[3 * prim + 1], st.va[3 * prim + 2]};
+    poly[1] = {st.vb[3 * prim], st.vb[3 * prim + 1], st.vb[3 * prim + 2]};
+    poly[2] = {st.vc[3 * prim], st.vc[3 * prim + 1], st.vc[3 * prim + 2]};
+    int cnt = 3;
+    // Sutherland–Hodgman against the two slab planes
+    for (int side = 0; side < 2; ++side) {
+      float plane = side == 0 ? plane_lo : plane_hi;
+      float sign = side == 0 ? 1.0f : -1.0f;  // keep sign*(x-plane) >= 0
+      int ncnt = 0;
+      for (int i = 0; i < cnt; ++i) {
+        const Vec3 &a = poly[i];
+        const Vec3 &b = poly[(i + 1) % cnt];
+        float da = sign * (axval(a, axis) - plane);
+        float db = sign * (axval(b, axis) - plane);
+        if (da >= 0.0f) next[ncnt++] = a;
+        if ((da >= 0.0f) != (db >= 0.0f)) {
+          float t = da / (da - db);
+          next[ncnt++] = {a.x + t * (b.x - a.x), a.y + t * (b.y - a.y),
+                          a.z + t * (b.z - a.z)};
+        }
+      }
+      cnt = ncnt;
+      for (int i = 0; i < cnt; ++i) poly[i] = next[i];
+      if (cnt == 0) break;
+    }
+    if (cnt == 0) {
+      out = refbox;  // numeric edge: fall back to the box clamp
+    } else {
+      for (int i = 0; i < cnt; ++i) out.grow(poly[i]);
+    }
+  }
+  // clamp to the slab and to the incoming reference box
+  out.lo = vmax(out.lo, refbox.lo);
+  out.hi = vmin(out.hi, refbox.hi);
+  if (axis == 0) {
+    out.lo.x = std::max(out.lo.x, plane_lo);
+    out.hi.x = std::min(out.hi.x, plane_hi);
+  } else if (axis == 1) {
+    out.lo.y = std::max(out.lo.y, plane_lo);
+    out.hi.y = std::min(out.hi.y, plane_hi);
+  } else {
+    out.lo.z = std::max(out.lo.z, plane_lo);
+    out.hi.z = std::min(out.hi.z, plane_hi);
+  }
+  out.lo = vmin(out.lo, out.hi);  // keep a valid (possibly flat) box
+  return out;
+}
+
+void sbuild(SBuild &st, std::vector<Ref> &refs, int32_t node, int depth) {
+  AABB box, cbox;
+  for (const Ref &r : refs) {
+    box.grow(r.box);
+    cbox.grow(Vec3{0.5f * (r.box.lo.x + r.box.hi.x),
+                   0.5f * (r.box.lo.y + r.box.hi.y),
+                   0.5f * (r.box.lo.z + r.box.hi.z)});
+  }
+  st.node_min[3 * node] = box.lo.x;
+  st.node_min[3 * node + 1] = box.lo.y;
+  st.node_min[3 * node + 2] = box.lo.z;
+  st.node_max[3 * node] = box.hi.x;
+  st.node_max[3 * node + 1] = box.hi.y;
+  st.node_max[3 * node + 2] = box.hi.z;
+
+  int32_t count = static_cast<int32_t>(refs.size());
+  auto make_leaf = [&]() {
+    st.left[node] = st.emitted;
+    st.right[node] = count;
+    st.is_leaf[node] = 1;
+    for (const Ref &r : refs) st.prim_out.push_back(r.prim);
+    st.emitted += count;
+  };
+  if (count <= st.leaf_size || depth >= kMaxStack - 2) {
+    make_leaf();
+    return;
+  }
+
+  // ---- object split: binned SAH over the widest centroid axis
+  float ext[3] = {cbox.hi.x - cbox.lo.x, cbox.hi.y - cbox.lo.y,
+                  cbox.hi.z - cbox.lo.z};
+  int oaxis = 0;
+  if (ext[1] > ext[0]) oaxis = 1;
+  if (ext[2] > ext[oaxis]) oaxis = 2;
+  float cmin = axval(cbox.lo, oaxis);
+  float cext = ext[oaxis];
+
+  float obj_cost = std::numeric_limits<float>::infinity();
+  int obj_split = -1;
+  AABB obj_lbox, obj_rbox;
+  auto obj_bin = [&](const Ref &r) {
+    float c = 0.5f * (axval(r.box.lo, oaxis) + axval(r.box.hi, oaxis));
+    int b = static_cast<int>((c - cmin) * (kBins / cext));
+    return std::min(std::max(b, 0), kBins - 1);
+  };
+  if (cext > 1e-12f) {
+    AABB bb[kBins];
+    int32_t bc[kBins] = {0};
+    for (const Ref &r : refs) {
+      int b = obj_bin(r);
+      bb[b].grow(r.box);
+      bc[b]++;
+    }
+    AABB lacc[kBins];
+    int32_t lcnt[kBins] = {0};
+    AABB acc;
+    int32_t cacc = 0;
+    for (int b = 0; b < kBins - 1; ++b) {
+      acc.grow(bb[b]);
+      cacc += bc[b];
+      lacc[b] = acc;
+      lcnt[b] = cacc;
+    }
+    acc = AABB();
+    cacc = 0;
+    for (int b = kBins - 1; b >= 1; --b) {
+      acc.grow(bb[b]);
+      cacc += bc[b];
+      if (lcnt[b - 1] == 0 || cacc == 0) continue;
+      float cost = lacc[b - 1].half_area() * lcnt[b - 1] +
+                   acc.half_area() * cacc;
+      if (cost < obj_cost) {
+        obj_cost = cost;
+        obj_split = b - 1;
+        obj_lbox = lacc[b - 1];
+        obj_rbox = acc;
+      }
+    }
+  }
+
+  // ---- spatial split: considered when the object children overlap
+  // enough (SBVH alpha test) or no object split exists
+  float sp_cost = std::numeric_limits<float>::infinity();
+  int sp_axis = -1;
+  float sp_plane = 0.0f;
+  bool refs_left = st.emitted + 2 * count < st.max_refs;
+  AABB ov;
+  bool try_spatial = refs_left;
+  if (obj_split >= 0 && try_spatial) {
+    ov.lo = vmax(obj_lbox.lo, obj_rbox.lo);
+    ov.hi = vmin(obj_lbox.hi, obj_rbox.hi);
+    bool overlaps = ov.lo.x <= ov.hi.x && ov.lo.y <= ov.hi.y &&
+                    ov.lo.z <= ov.hi.z;
+    try_spatial = overlaps && ov.half_area() > st.alpha_area;
+  }
+  if (try_spatial) {
+    for (int axis = 0; axis < 3; ++axis) {
+      float nlo = axval(box.lo, axis), nhi = axval(box.hi, axis);
+      float next_ = nhi - nlo;
+      if (next_ <= 1e-12f) continue;
+      AABB bb[kBins];
+      int32_t enter[kBins] = {0}, exit_[kBins] = {0};
+      float inv = kBins / next_;
+      for (const Ref &r : refs) {
+        int b0 = static_cast<int>((axval(r.box.lo, axis) - nlo) * inv);
+        int b1 = static_cast<int>((axval(r.box.hi, axis) - nlo) * inv);
+        b0 = std::min(std::max(b0, 0), kBins - 1);
+        b1 = std::min(std::max(b1, 0), kBins - 1);
+        enter[b0]++;
+        exit_[b1]++;
+        if (b0 == b1) {
+          bb[b0].grow(r.box);
+        } else {
+          for (int b = b0; b <= b1; ++b) {
+            bb[b].grow(clip_tri(st, r.prim, r.box, axis,
+                                nlo + b / inv, nlo + (b + 1) / inv));
+          }
+        }
+      }
+      AABB lacc[kBins];
+      int32_t lcnt[kBins] = {0};
+      AABB acc;
+      int32_t cacc = 0;
+      for (int b = 0; b < kBins - 1; ++b) {
+        acc.grow(bb[b]);
+        cacc += enter[b];
+        lacc[b] = acc;
+        lcnt[b] = cacc;
+      }
+      acc = AABB();
+      cacc = 0;
+      for (int b = kBins - 1; b >= 1; --b) {
+        acc.grow(bb[b]);
+        cacc += exit_[b];
+        if (lcnt[b - 1] == 0 || cacc == 0) continue;
+        float cost = lacc[b - 1].half_area() * lcnt[b - 1] +
+                     acc.half_area() * cacc;
+        if (cost < sp_cost) {
+          sp_cost = cost;
+          sp_axis = axis;
+          sp_plane = nlo + b / inv;
+        }
+      }
+    }
+  }
+
+  if (obj_split < 0 && sp_axis < 0) {
+    // no split available (degenerate spread): median split on prim id
+    // order to keep leaves bounded
+    if (count <= 4 * st.leaf_size) {
+      make_leaf();
+      return;
+    }
+    std::vector<Ref> lrefs(refs.begin(), refs.begin() + count / 2);
+    std::vector<Ref> rrefs(refs.begin() + count / 2, refs.end());
+    refs.clear();
+    refs.shrink_to_fit();
+    int32_t l = st.alloc(), r = st.alloc();
+    st.left[node] = l;
+    st.right[node] = r;
+    sbuild(st, lrefs, l, depth + 1);
+    sbuild(st, rrefs, r, depth + 1);
+    return;
+  }
+
+  std::vector<Ref> lrefs, rrefs;
+  if (sp_axis >= 0 && sp_cost < obj_cost) {
+    // spatial split: straddlers are clipped into both children
+    for (const Ref &r : refs) {
+      float blo = axval(r.box.lo, sp_axis), bhi = axval(r.box.hi, sp_axis);
+      if (bhi <= sp_plane) {
+        lrefs.push_back(r);
+      } else if (blo >= sp_plane) {
+        rrefs.push_back(r);
+      } else if (st.emitted + static_cast<int32_t>(
+                     lrefs.size() + rrefs.size()) + 2 < st.max_refs) {
+        Ref lr = r, rr = r;
+        lr.box = clip_tri(st, r.prim, r.box, sp_axis,
+                          -std::numeric_limits<float>::infinity(), sp_plane);
+        rr.box = clip_tri(st, r.prim, r.box, sp_axis, sp_plane,
+                          std::numeric_limits<float>::infinity());
+        lrefs.push_back(lr);
+        rrefs.push_back(rr);
+      } else {
+        // reference budget exhausted: unsplit to the larger-overlap side
+        (sp_plane - blo >= bhi - sp_plane ? lrefs : rrefs).push_back(r);
+      }
+    }
+    if (lrefs.empty() || rrefs.empty()) {
+      make_leaf();  // numeric edge; count is bounded by the budget anyway
+      return;
+    }
+  } else {
+    for (const Ref &r : refs) {
+      (obj_bin(r) <= obj_split ? lrefs : rrefs).push_back(r);
+    }
+    if (lrefs.empty() || rrefs.empty()) {
+      size_t mid = refs.size() / 2;
+      lrefs.assign(refs.begin(), refs.begin() + mid);
+      rrefs.assign(refs.begin() + mid, refs.end());
+    }
+  }
+  refs.clear();
+  refs.shrink_to_fit();
+  int32_t l = st.alloc(), r = st.alloc();
+  st.left[node] = l;
+  st.right[node] = r;
+  sbuild(st, lrefs, l, depth + 1);
+  sbuild(st, rrefs, r, depth + 1);
+}
+
+}  // namespace
+
+extern "C" {
+
+// SBVH build.  va/vb/vc may be nullptr (box-clamp clipping).  Outputs are
+// caller-allocated for max_refs references: nodes (2*max_refs-1, ...),
+// prim_idx (max_refs,).  Writes the reference count to *out_n_refs and
+// returns the node count, or -1 on error.  Leaves index prim_idx, which
+// may contain duplicated primitive ids (spatial splits).
+int32_t spira_build_sbvh(const float *lo, const float *hi, const float *va,
+                         const float *vb, const float *vc, int32_t n,
+                         int32_t leaf_size, float alpha, int32_t max_refs,
+                         float *out_node_min, float *out_node_max,
+                         int32_t *out_left, int32_t *out_right,
+                         int32_t *out_is_leaf, int32_t *out_prim_idx,
+                         int32_t *out_n_refs) {
+  if (n <= 0 || leaf_size <= 0 || max_refs < n) return -1;
+  SBuild st;
+  st.va = va;
+  st.vb = vb;
+  st.vc = vc;
+  st.leaf_size = leaf_size;
+  st.max_refs = max_refs;
+  std::vector<Ref> refs(n);
+  AABB root;
+  for (int32_t i = 0; i < n; ++i) {
+    refs[i].prim = i;
+    refs[i].box.lo = {lo[3 * i], lo[3 * i + 1], lo[3 * i + 2]};
+    refs[i].box.hi = {hi[3 * i], hi[3 * i + 1], hi[3 * i + 2]};
+    root.grow(refs[i].box);
+  }
+  st.alpha_area = alpha * root.half_area();
+  int32_t rootn = st.alloc();
+  sbuild(st, refs, rootn, 0);
+  int32_t m = static_cast<int32_t>(st.left.size());
+  if (m > 2 * max_refs - 1) return -1;
+  if (st.emitted > max_refs) return -1;
+  std::memcpy(out_node_min, st.node_min.data(), sizeof(float) * 3 * m);
+  std::memcpy(out_node_max, st.node_max.data(), sizeof(float) * 3 * m);
+  std::memcpy(out_left, st.left.data(), sizeof(int32_t) * m);
+  std::memcpy(out_right, st.right.data(), sizeof(int32_t) * m);
+  std::memcpy(out_is_leaf, st.is_leaf.data(), sizeof(int32_t) * m);
+  std::memcpy(out_prim_idx, st.prim_out.data(),
+              sizeof(int32_t) * st.emitted);
+  *out_n_refs = st.emitted;
+  return m;
+}
+
+}  // extern "C"

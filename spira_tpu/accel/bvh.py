@@ -193,6 +193,40 @@ def build_bvh_for_triangles(
     return build_bvh(lo, hi, leaf_size)
 
 
+def build_sbvh_for_triangles(
+    tris, leaf_size: int = LEAF_SIZE, alpha: float = 1e-5,
+    max_ref_factor: float = 1.8,
+) -> FlatBVH:
+    """SBVH (spatial-split) build over a triangle soup — true polygon
+    clipping from the triangle vertices; requires the native library
+    (falls back to the plain SAH builder with a log note otherwise).
+    Spatial splits duplicate straddling references, so ``prim_idx`` may be
+    longer than the triangle count and contain repeats; every traversal
+    consumer (leaf packing, stackless walk, the NumPy oracle) tolerates
+    duplicates — re-testing a triangle is idempotent for closest-hit."""
+    from ..scene.geometry import triangle_bounds
+
+    lo, hi = triangle_bounds(tris)
+    try:
+        from .native import build_sbvh_native
+
+        import numpy as _np
+
+        v0 = _np.asarray(tris.v0, _np.float32)
+        v1 = v0 + _np.asarray(tris.e1, _np.float32)
+        v2 = v0 + _np.asarray(tris.e2, _np.float32)
+        return build_sbvh_native(
+            _np.asarray(lo), _np.asarray(hi), v0, v1, v2,
+            leaf_size=leaf_size, alpha=alpha,
+            max_ref_factor=max_ref_factor,
+        )
+    except RuntimeError:
+        from ..utils.metrics import logger
+
+        logger.info("native SBVH unavailable; using plain SAH builder")
+        return build_bvh_for_triangles(tris, leaf_size)
+
+
 def build_mixed_bvh(spheres, tris=None, leaf_size: int = LEAF_SIZE) -> FlatBVH:
     """One tree over spheres AND triangles (mixed-primitive leaves).
 

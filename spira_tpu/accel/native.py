@@ -172,3 +172,90 @@ def build_bvh_best(lo, hi, leaf_size: int = LEAF_SIZE) -> FlatBVH:
     from .bvh import build_bvh
 
     return build_bvh(lo, hi, leaf_size)
+
+
+def build_sbvh_native(
+    lo: np.ndarray,
+    hi: np.ndarray,
+    v0: np.ndarray | None = None,
+    v1: np.ndarray | None = None,
+    v2: np.ndarray | None = None,
+    leaf_size: int = LEAF_SIZE,
+    alpha: float = 1e-5,
+    max_ref_factor: float = 1.8,
+) -> FlatBVH:
+    """SBVH build (binned SAH + spatial splits, Stich et al. HPG 2009) via
+    the C++ library; raises if unavailable.
+
+    Spatial splits duplicate straddling references into both children with
+    clipped boxes (true polygon clipping when ``v0/v1/v2`` vertices are
+    given), so ``prim_idx`` may exceed n and contain duplicates — every
+    traversal consumer tolerates that (closest-hit re-tests are
+    idempotent).  ``alpha`` is the SBVH overlap threshold relative to the
+    root area; ``max_ref_factor`` caps reference inflation.
+    """
+    lib = _load_library()
+    if lib is None or not hasattr(lib, "spira_build_sbvh"):
+        raise RuntimeError("native SBVH builder unavailable")
+    if not hasattr(lib.spira_build_sbvh, "_typed"):
+        f = lib.spira_build_sbvh
+        f.restype = ctypes.c_int32
+        f.argtypes = [ctypes.POINTER(ctypes.c_float)] * 5 + [
+            ctypes.c_int32, ctypes.c_int32, ctypes.c_float, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+        ]
+        f._typed = True
+    lo = np.ascontiguousarray(lo, np.float32)
+    hi = np.ascontiguousarray(hi, np.float32)
+    n = lo.shape[0]
+    if n == 0:
+        raise ValueError("cannot build a BVH over zero primitives")
+    max_refs = max(int(n * max_ref_factor) + 8, n + 8)
+    cap = 2 * max_refs - 1
+    node_min = np.empty((cap, 3), np.float32)
+    node_max = np.empty((cap, 3), np.float32)
+    left = np.empty(cap, np.int32)
+    right = np.empty(cap, np.int32)
+    is_leaf = np.empty(cap, np.int32)
+    prim_idx = np.empty(max_refs, np.int32)
+    n_refs = ctypes.c_int32(0)
+
+    def ptr(a, t):
+        return a.ctypes.data_as(ctypes.POINTER(t))
+
+    def vptr(a):
+        if a is None:
+            return ctypes.POINTER(ctypes.c_float)()
+        return np.ascontiguousarray(a, np.float32).ctypes.data_as(
+            ctypes.POINTER(ctypes.c_float))
+
+    # hold contiguous vertex copies alive across the call
+    vs = [None if a is None else np.ascontiguousarray(a, np.float32)
+          for a in (v0, v1, v2)]
+    m = lib.spira_build_sbvh(
+        ptr(lo, ctypes.c_float), ptr(hi, ctypes.c_float),
+        vptr(vs[0]), vptr(vs[1]), vptr(vs[2]),
+        n, leaf_size, ctypes.c_float(alpha), max_refs,
+        ptr(node_min, ctypes.c_float), ptr(node_max, ctypes.c_float),
+        ptr(left, ctypes.c_int32), ptr(right, ctypes.c_int32),
+        ptr(is_leaf, ctypes.c_int32), ptr(prim_idx, ctypes.c_int32),
+        ctypes.byref(n_refs),
+    )
+    if m < 0:
+        raise RuntimeError("native SBVH build failed")
+    from .bvh import add_links
+
+    leaf_mask = is_leaf[:m] == 1
+    max_leaf = int(right[:m][leaf_mask].max())
+    return add_links(FlatBVH(
+        node_min=jnp.asarray(node_min[:m]),
+        node_max=jnp.asarray(node_max[:m]),
+        left=jnp.asarray(left[:m]),
+        right=jnp.asarray(right[:m]),
+        is_leaf=jnp.asarray(is_leaf[:m]),
+        prim_idx=jnp.asarray(prim_idx[: n_refs.value]),
+        max_leaf=max_leaf,
+    ))

@@ -261,3 +261,40 @@ def test_mixed_bvh_through_intersect_scene():
     a = intersect_scene(scene, o, d)
     b = intersect_scene(mixed_scene, o, d)
     assert_hits_match(b, a)
+
+
+def test_sbvh_spatial_splits_nearest_hit_parity():
+    """SBVH (spatial splits, duplicated clipped references) finds exactly
+    the same nearest hits as the plain SAH tree: traversal consumers must
+    tolerate duplicate prim_idx entries and reference counts > n_tris."""
+    import numpy as np
+
+    from spira_tpu.accel.bvh import (
+        build_bvh_for_triangles,
+        build_sbvh_for_triangles,
+    )
+    from spira_tpu.accel.pairs import pack_bvh, traverse_packed_numpy
+    from spira_tpu.scene.scene import create_mesh_scene
+
+    tris = create_mesh_scene(subdivisions=2).triangles
+    plain = pack_bvh(build_bvh_for_triangles(tris, leaf_size=4), tris)
+    sbvh_tree = build_sbvh_for_triangles(tris, leaf_size=4)
+    sbvh = pack_bvh(sbvh_tree, tris)
+    assert sbvh_tree.prim_idx.shape[0] >= tris.count  # refs may duplicate
+
+    rng = np.random.default_rng(7)
+    # aim half the rays at the mesh (unit-scale icosphere at the origin)
+    o = rng.uniform(-2.0, 2.0, (64, 3))
+    d = rng.normal(size=(64, 3))
+    d[::2] = rng.uniform(-0.6, 0.6, (32, 3)) - o[::2]
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    hits = 0
+    for i in range(64):
+        t1, _, m1 = traverse_packed_numpy(plain, o[i], d[i])
+        t2, _, m2 = traverse_packed_numpy(sbvh, o[i], d[i])
+        if np.isfinite(t1):
+            hits += 1
+            assert abs(t1 - t2) < 1e-6 and m1 == m2, (i, t1, t2, m1, m2)
+        else:
+            assert not np.isfinite(t2), (i, t2)
+    assert hits > 10  # the ray set actually exercises geometry
