@@ -272,11 +272,8 @@ def _spectral_mesh_scene(subdivisions=4):
 
 
 def _spectral_bunny_scene():
-    """Bunny-scale geometry under spectral materials: the procedural bunny
-    triangles re-hosted in the spectral demo's material set."""
-    from spira_tpu.accel.bvh import build_two_level
-    from spira_tpu.accel.pairs import attach_packed
-    from spira_tpu.core.types import replace
+    """Bunny-scale SPECTRAL gradient scene: the procedural bunny under its
+    default materials (albedo SPDs derive from RGB via Smits)."""
     from spira_tpu.scene.bunny import bunny_camera, create_bunny_scene
 
     scene, info = create_bunny_scene(allow_download=False)

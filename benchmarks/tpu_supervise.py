@@ -49,9 +49,14 @@ def run_once(cmd, window, timeout):
             return ("timeout", 124)
         time.sleep(10)
         cpu = _cpu_jiffies(proc.pid)
-        if cpu - last_cpu >= 20:  # >=0.2 s CPU since last check: alive
-            last_cpu = cpu
+        # RATE, not cumulative: a wedged axon client still ticks ~1 jiffy
+        # per 10 s (tokio housekeeping), which would eventually cross any
+        # cumulative threshold and reset the window forever.  Alive means
+        # >= 5 jiffies (0.05 s CPU) in THIS 10 s poll; remote-compile
+        # waits tick less, so the window must exceed the longest compile.
+        if cpu - last_cpu >= 5:
             last_change = time.time()
+        last_cpu = cpu
         if time.time() - last_change > window:
             os.killpg(proc.pid, signal.SIGKILL)
             proc.wait()

@@ -63,12 +63,13 @@ _CNT = 7
 
 
 @pytree_dataclass(
-    meta_fields=("root", "n_rows", "n_pairs", "max_leaf", "depth", "form")
+    meta_fields=("root", "n_rows", "n_pairs", "max_leaf", "depth", "form",
+                 "fanout")
 )
 class PackedBVH:
     """Device-resident pair-record BVH (replicated per chip)."""
 
-    pairs: jnp.ndarray  # (P, 16) float32
+    pairs: jnp.ndarray  # (P, 8*fanout) float32
     tri_rows: jnp.ndarray  # (R, 128) float32
     # slot -> original triangle index (slot = row*8 + lane/16); -1 padding.
     # Lets the differentiable intersect hook gather the winning triangle's
@@ -80,6 +81,10 @@ class PackedBVH:
     max_leaf: int = TRIS_PER_ROW
     depth: int = 1  # pair records on the longest root->leaf chain
     form: str = "mt"  # leaf operand layout: "mt" | "bw" (module docstring)
+    # children per record: 2 (pair records) or 4 (quad records — the
+    # BVH2→BVH4 collapse: each record holds grandchildren of a binary
+    # internal node, halving pop batches and stack traffic; round 5)
+    fanout: int = 2
 
 
 def _leaf_rows_needed(count: int) -> int:
@@ -156,6 +161,88 @@ def build_pair_records(root_node, internal, kids, is_leaf_node, leaf_entry,
     return pairs, int(root), depth
 
 
+def build_quad_records(root_node, kids, is_leaf_node, leaf_entry, box):
+    """BVH2→BVH4 collapse: one 32-lane record per *representative* binary
+    internal node, holding its grandchildren (or leaf children) —
+    ``[min3 | max3 | ptr | count] x 4``.  Internal entries point to the
+    quad row of that binary node; empty slots have count == -1.  Halves
+    the popped-record count and the stack traffic of the packet traversal
+    at identical leaf work (the children tested per pop are the same
+    boxes, one tree level earlier).
+
+    Returns (quads (Q, 32), root_row, depth).
+    """
+    empty = (np.zeros(3, np.float32), np.zeros(3, np.float32), 0, -1)
+
+    row_of = {}
+    order = []
+
+    def want_row(i):
+        i = int(i)
+        if i not in row_of:
+            row_of[i] = len(order)
+            order.append(i)
+        return row_of[i]
+
+    if is_leaf_node(root_node):
+        # degenerate tree: one pseudo record holding the single leaf
+        lo3, hi3 = box(root_node)
+        ptr, cnt = leaf_entry(root_node)
+        quads = np.zeros((1, 32), np.float32)
+        ents = [(lo3, hi3, ptr, cnt)] + [empty] * 3
+        for half, (lo, hi, p, c) in enumerate(ents):
+            b = 8 * half
+            quads[0, b : b + 3] = lo
+            quads[0, b + 3 : b + 6] = hi
+            quads[0, b + 6] = float(p)
+            quads[0, b + 7] = float(c)
+        return quads, 0, 1
+
+    want_row(root_node)
+    rows = []
+    k = 0
+    while k < len(order):
+        i = order[k]
+        k += 1
+        ents = []
+        for c in kids(i):
+            if is_leaf_node(c):
+                lo3, hi3 = box(c)
+                ptr, cnt = leaf_entry(c)
+                ents.append((lo3, hi3, ptr, cnt))
+                continue
+            for gc in kids(c):
+                lo3, hi3 = box(gc)
+                if is_leaf_node(gc):
+                    ptr, cnt = leaf_entry(gc)
+                    ents.append((lo3, hi3, ptr, cnt))
+                else:
+                    ents.append((lo3, hi3, want_row(gc), 0))
+        while len(ents) < 4:
+            ents.append(empty)
+        rows.append(ents)
+
+    quads = np.zeros((len(rows), 32), np.float32)
+    for r, ents in enumerate(rows):
+        for half, (lo3, hi3, ptr, cnt) in enumerate(ents):
+            b = 8 * half
+            quads[r, b : b + 3] = lo3
+            quads[r, b + 3 : b + 6] = hi3
+            quads[r, b + 6] = float(ptr)
+            quads[r, b + 7] = float(cnt)
+
+    # longest root->leaf chain in quad records
+    depth = 1
+    chain = [(0, 1)]
+    while chain:
+        rec, d = chain.pop()
+        depth = max(depth, d)
+        for half in range(4):
+            if quads[rec, 8 * half + 7] == 0.0:
+                chain.append((int(quads[rec, 8 * half + 6]), d + 1))
+    return quads, 0, depth
+
+
 def pad8(a: np.ndarray) -> np.ndarray:
     """Pad the sublane (leading) dim to a multiple of 8."""
     p = (-a.shape[0]) % 8
@@ -189,13 +276,14 @@ def _bw_operands(v0, e1, e2, nrm):
     return np.concatenate([nrm, dn, A, a3, B, b3], axis=1).astype(np.float32)
 
 
-def pack_bvh(bvh, tris, materials=None, form="bw") -> PackedBVH:
+def pack_bvh(bvh, tris, materials=None, form="bw", fanout=2) -> PackedBVH:
     """Convert a FlatBVH + Triangles into pair records + packed tri rows.
 
     Leaves larger than ``TRIS_PER_ROW`` span multiple consecutive rows (the
     kernel unrolls ``ceil(max_leaf / 8)`` row loads).  ``form`` picks the
     leaf operand layout (module docstring): ``"bw"`` (default — measured
-    faster on v5e) or ``"mt"``.
+    faster on v5e) or ``"mt"``.  ``fanout=4`` emits quad records
+    (BVH2→BVH4 collapse, :func:`build_quad_records`).
     """
     node_min = np.asarray(bvh.node_min, np.float32)
     node_max = np.asarray(bvh.node_max, np.float32)
@@ -247,14 +335,25 @@ def pack_bvh(bvh, tris, materials=None, form="bw") -> PackedBVH:
         l, r = int(left[i]), int(right[i])
         return [l] if l == r else [l, r]  # l == r: two-level redirect node
 
-    pairs, root, depth = build_pair_records(
-        0,
-        internal,
-        kids,
-        lambda c: is_leaf[c] == 1,
-        lambda c: (leaf_row[int(c)], int(right[c])),
-        lambda c: (node_min[c], node_max[c]),
-    )
+    if fanout == 4:
+        pairs, root, depth = build_quad_records(
+            0,
+            kids,
+            lambda c: is_leaf[c] == 1,
+            lambda c: (leaf_row[int(c)], int(right[c])),
+            lambda c: (node_min[c], node_max[c]),
+        )
+    elif fanout == 2:
+        pairs, root, depth = build_pair_records(
+            0,
+            internal,
+            kids,
+            lambda c: is_leaf[c] == 1,
+            lambda c: (leaf_row[int(c)], int(right[c])),
+            lambda c: (node_min[c], node_max[c]),
+        )
+    else:
+        raise ValueError(f"fanout must be 2 or 4, got {fanout}")
     max_leaf = int(right[leaves].max()) if leaves.size else 1
 
     padded_rows = pad8(tri_rows)
@@ -283,10 +382,11 @@ def pack_bvh(bvh, tris, materials=None, form="bw") -> PackedBVH:
         max_leaf=max_leaf,
         depth=depth,
         form=form,
+        fanout=fanout,
     )
 
 
-def attach_packed(scene, form="bw"):
+def attach_packed(scene, form="bw", fanout=2):
     """Pack ``scene.bvh`` + triangles into pair tables and return a scene
     whose ``packed`` field feeds the Pallas packet megakernel."""
     from ..core.types import replace
@@ -294,7 +394,7 @@ def attach_packed(scene, form="bw"):
     if scene.bvh is None:
         raise ValueError("attach_packed requires a scene with a built BVH")
     return replace(scene, packed=pack_bvh(scene.bvh, scene.triangles,
-                                          form=form))
+                                          form=form, fanout=fanout))
 
 
 def traverse_packed_numpy(packed: PackedBVH, origin, direction, t_min=1e-3):
@@ -307,11 +407,12 @@ def traverse_packed_numpy(packed: PackedBVH, origin, direction, t_min=1e-3):
     inv = np.where(np.abs(d) > 1e-12, 1.0 / d, 1e12)
 
     best = (np.inf, np.zeros(3), -1)
+    fanout = getattr(packed, "fanout", 2)
     stack = [packed.root]
     while stack:
         p = stack.pop()
         rec = pairs[p]
-        for half in (0, 1):
+        for half in range(fanout):
             b = 8 * half
             lo, hi = rec[b : b + 3], rec[b + 3 : b + 6]
             ptr, cnt = int(rec[b + 6]), int(rec[b + 7])

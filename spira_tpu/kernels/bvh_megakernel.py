@@ -74,7 +74,8 @@ _DISCARD = STACK_SIZE - 1  # masked pushes land here and are never read
 
 
 def _check_stack_depth(depth: int, pops_per_iter: int,
-                       defer_leaves: bool = False) -> None:
+                       defer_leaves: bool = False,
+                       fanout: int = 2) -> None:
     """Refuse trees whose traversal could overflow the SMEM stack.
 
     Each of the K popped records pushes at most 2 entries, and a
@@ -91,7 +92,7 @@ def _check_stack_depth(depth: int, pops_per_iter: int,
             "the int32 any-hit bitmask reduce"
         )
     eff_depth = depth + 1 if defer_leaves else depth
-    if 2 * pops_per_iter * eff_depth + pops_per_iter >= STACK_SIZE:
+    if fanout * pops_per_iter * eff_depth + pops_per_iter >= STACK_SIZE:
         raise ValueError(
             f"packed BVH depth {depth} with pops_per_iter={pops_per_iter} "
             f"could overflow the {STACK_SIZE}-entry traversal stack; "
@@ -101,6 +102,17 @@ N_MAT_FIELDS = 10  # ar ag ab er eg eb metallic roughness ior transmission
 #: bit-plane multiplier for the combined two-child hit-count reduce:
 #: sum(hit0 + hit1*2048) <= 1024 + 1024*2048 < 2^24 — exact in float32.
 _PLANE = np.float32(2048.0)
+
+
+def _auto_pops(tree) -> int:
+    """Measured auto pops_per_iter: deep trees amortize the vector->scalar
+    pop readback over more children (v5e sweeps, rounds 4-5); quad records
+    carry twice the children per row, so K halves at the same batch width.
+    K=32-equivalent overflows real stacks (round-4 correctness cliff)."""
+    n_pairs = tree.pairs.shape[0]
+    if getattr(tree, "fanout", 2) == 4:
+        return 8 if n_pairs >= 2048 else (4 if n_pairs >= 256 else 1)
+    return 16 if n_pairs >= 4096 else (8 if n_pairs >= 512 else 1)
 
 
 def _with_dummy_row(pairs):
@@ -421,6 +433,20 @@ def run_packet_traversal(
     K = pops_per_iter
     if K > 1 and dummy_row is None:
         raise ValueError("pops_per_iter > 1 requires a dummy_row")
+    # record arity from the table width: 16 lanes = pair records, 32 =
+    # quad records (BVH2→BVH4 collapse, accel.pairs.build_quad_records) —
+    # every caller (RGB, spectral, the grad hook) inherits quad support
+    fanout = pairs_ref.shape[1] // 8
+    if fanout not in (2, 4):
+        raise ValueError(f"pair table width {pairs_ref.shape[1]} is not a "
+                         "pair (16) or quad (32) record layout")
+    if defer_leaves and fanout != 2:
+        raise ValueError("defer_leaves supports pair records only")
+    if fanout * K > 32:
+        raise ValueError(
+            f"fanout {fanout} x pops_per_iter {K} exceeds the 32-plane "
+            "int32 any-hit bitmask"
+        )
     ox, oy, oz = o3
     dx, dy, dz = d3
     n_lanes = int(np.prod(dx.shape))
@@ -798,8 +824,8 @@ def run_packet_traversal(
                 rec_idx = ps[i]
             leaf_es.append(is_leaf_e)
             recs.append(rec_idx)
-            rec = pairs_ref[pl.ds(rec_idx, 1), :]  # (1, 16) both children
-            for half in (0, 1):
+            rec = pairs_ref[pl.ds(rec_idx, 1), :]  # (1, 8*fanout) children
+            for half in range(fanout):
                 b = 8 * half
                 lox = rec[0, b + 0]
                 loy = rec[0, b + 1]
@@ -863,8 +889,8 @@ def run_packet_traversal(
                     prj = prj + wfar * (cx * cx + cy * cy + cz * cz)
                 prjs.append(prj)
 
-        # ONE vector→scalar readback decodes all 2K any-hit bits
-        if K == 1:
+        # ONE vector→scalar readback decodes all fanout*K any-hit bits
+        if K == 1 and fanout == 2:
             if use_int_reduce:
                 packed_i = (
                     hits[0].astype(jnp.int32)
@@ -881,10 +907,10 @@ def run_packet_traversal(
                 c1 = jnp.floor(s * np.float32(1.0 / float(_PLANE)))
                 anyhits = ((s - c1 * _PLANE) > 0.5, c1 > 0.5)
         else:
-            # bitmask OR-tree: per-lane 2K-bit masks folded across lanes
-            # and sublanes with rolls, one scalar extract for the batch
+            # bitmask OR-tree: per-lane fanout*K-bit masks folded across
+            # lanes and sublanes with rolls, one scalar extract per batch
             m = hits[0].astype(jnp.int32)
-            for j in range(1, 2 * K):
+            for j in range(1, fanout * K):
                 m = m + (hits[j].astype(jnp.int32) << j)
             m = jnp.where(active, m, 0)
             for sh in (64, 32, 16, 8, 4, 2, 1):
@@ -895,7 +921,7 @@ def run_packet_traversal(
                 sh //= 2
             bits = m[0, 0]
             anyhits = tuple(
-                ((bits >> j) & 1) > 0 for j in range(2 * K)
+                ((bits >> j) & 1) > 0 for j in range(fanout * K)
             )
 
         def _visitable(h):
@@ -903,13 +929,13 @@ def run_packet_traversal(
             if defer_leaves:
                 # only deferred-leaf entries visit; leaf children of
                 # internal entries are pushed for a later re-test
-                cond = cond & leaf_es[h // 2]
+                cond = cond & leaf_es[h // fanout]
             return cond
 
         if ctr_ref is not None:
             ctr_ref[0] = ctr_ref[0] + 1
             n_leaf = jnp.int32(0)
-            for half in range(2 * K):
+            for half in range(fanout * K):
                 n_leaf = n_leaf + _visitable(half).astype(jnp.int32)
             ctr_ref[1] = ctr_ref[1] + n_leaf
             if primary:
@@ -926,7 +952,7 @@ def run_packet_traversal(
                     ).astype(jnp.int32)
                 ctr_ref[7] = ctr_ref[7] + n_cull
 
-        for half in range(2 * K):
+        for half in range(fanout * K):
             ptr, cnt = ents[half]
             hitm = hits[half] & active
 
@@ -938,37 +964,62 @@ def run_packet_traversal(
         # first and shrinks best_t before the far subtree runs.  Records
         # push in reverse batch order so record 0's near child ends on
         # top of the stack (approximate DFS order across a batch)
-        for i in reversed(range(K)):
-            c0, c1 = 2 * i, 2 * i + 1
+        def pair_order(c0, c1, le=None):
+            """(far, near) (value, push) muxes for a sibling pair."""
             cnt0, cnt1 = ents[c0][1], ents[c1][1]
             if defer_leaves:
-                not_le = jnp.logical_not(leaf_es[i])
+                not_le = jnp.logical_not(le)
                 push0 = anyhits[c0] & not_le & (cnt0 > -0.5)
                 push1 = anyhits[c1] & not_le & (cnt1 > -0.5)
                 val0 = jnp.where(
-                    cnt0 > 0.5, -(2 * recs[i] + 0) - 1, ents[c0][0]
+                    cnt0 > 0.5, -(2 * recs[c0 // 2] + 0) - 1, ents[c0][0]
                 )
                 val1 = jnp.where(
-                    cnt1 > 0.5, -(2 * recs[i] + 1) - 1, ents[c1][0]
+                    cnt1 > 0.5, -(2 * recs[c1 // 2] + 1) - 1, ents[c1][0]
                 )
             else:
                 push0 = anyhits[c0] & (cnt0 == 0.0)
                 push1 = anyhits[c1] & (cnt1 == 0.0)
                 val0, val1 = ents[c0][0], ents[c1][0]
             near0 = prjs[c0] <= prjs[c1]
-            far_ptr = jnp.where(near0, val1, val0)
-            far_push = jnp.where(near0, push1, push0)
-            near_ptr = jnp.where(near0, val0, val1)
-            near_push = jnp.where(near0, push0, push1)
-            stack_ref[jnp.where(far_push, sp, _DISCARD)] = far_ptr
-            sp = sp + far_push.astype(jnp.int32)
-            stack_ref[jnp.where(near_push, sp, _DISCARD)] = near_ptr
-            sp = sp + near_push.astype(jnp.int32)
+            far = (jnp.where(near0, val1, val0),
+                   jnp.where(near0, push1, push0))
+            near = (jnp.where(near0, val0, val1),
+                    jnp.where(near0, push0, push1))
+            return far, near
+
+        def do_push(sp, val, push):
+            stack_ref[jnp.where(push, sp, _DISCARD)] = val
             if ctr_ref is not None:
-                ctr_ref[2] = (
-                    ctr_ref[2] + far_push.astype(jnp.int32)
-                    + near_push.astype(jnp.int32)
+                ctr_ref[2] = ctr_ref[2] + push.astype(jnp.int32)
+            return sp + push.astype(jnp.int32)
+
+        for i in reversed(range(K)):
+            if fanout == 2:
+                far, near = pair_order(
+                    2 * i, 2 * i + 1, leaf_es[i] if defer_leaves else None
                 )
+                sp = do_push(sp, *far)
+                sp = do_push(sp, *near)
+            else:
+                # quad record: two sibling groups; the farther group (by
+                # min projection) pushes first so the nearer group's
+                # children pop first — approximate near-first DFS
+                base = fanout * i
+                fa, na = pair_order(base, base + 1)
+                fb, nb = pair_order(base + 2, base + 3)
+                ga = jnp.minimum(prjs[base], prjs[base + 1])
+                gb = jnp.minimum(prjs[base + 2], prjs[base + 3])
+                a_near = ga <= gb
+
+                def mux(p, q):
+                    return (jnp.where(a_near, p[0], q[0]),
+                            jnp.where(a_near, p[1], q[1]))
+
+                sp = do_push(sp, *mux(fb, fa))  # far group, far child
+                sp = do_push(sp, *mux(nb, na))
+                sp = do_push(sp, *mux(fa, fb))  # near group, far child
+                sp = do_push(sp, *mux(na, nb))
         return sp
 
     jax.lax.while_loop(cond, body, sp0)
@@ -1131,7 +1182,8 @@ def _intersect_tile_launch(packed, origins, dirs, interpret, tile_h=TILE_H,
     comps = [c.reshape(n_rows, TILE_W) for c in comps]
     grid = (pl.cdiv(n_rows, tile_h),)
     pairs = _with_dummy_row(packed.pairs)
-    _check_stack_depth(packed.depth, pops_per_iter, defer_leaves)
+    _check_stack_depth(packed.depth, pops_per_iter, defer_leaves,
+                       getattr(packed, "fanout", 2))
     kernel = functools.partial(
         _intersect_only_kernel,
         root=packed.root,
@@ -1245,7 +1297,8 @@ def _launch(
         max_leaf = packed.max_leaf
         rows_per_leaf = -(-max_leaf // TRIS_PER_ROW)
     # meta fields of the BVH pytree are concrete (part of the jit key)
-    _check_stack_depth(packed.depth, pops_per_iter, defer_leaves)
+    _check_stack_depth(packed.depth, pops_per_iter, defer_leaves,
+                       getattr(packed, "fanout", 2))
     root = packed.root
 
     cam_arr = mk.pack_camera_jnp(camera)
@@ -1368,12 +1421,7 @@ def bvh_rows(
     """
     tree = _require_tree(scene, mxu_leaf)
     if pops_per_iter is None:
-        n_pairs = tree.pairs.shape[0]
-        # v5e sweep: deep trees amortize the vector->scalar pop readback
-        # over more children (bunny leaf=8: K=16 673 ms, K=8 713, K=4 850);
-        # K=32 overflows real stacks and tripped a correctness cliff.
-        pops_per_iter = 16 if n_pairs >= 4096 else (
-            8 if n_pairs >= 512 else 1)
+        pops_per_iter = _auto_pops(tree)
     # don't pad a short shard up to a tall packet: pick the smallest legal
     # packet height covering n_rows (values are tile_h-invariant)
     while tile_h > 8 and tile_h // 2 >= n_rows:
@@ -1478,14 +1526,7 @@ def render_flat_bvh_megakernel(
         # power-of-two packet height
         raise ValueError(f"tile_h must be one of 8/16/32/64, got {tile_h}")
     if pops_per_iter is None:
-        # measured on v5e at tile_h=32: batched pops are neutral on shallow
-        # trees (~200 pair records) and +9-17% on deep ones (5.4k-73k tris)
-        n_pairs = tree.pairs.shape[0]
-        # v5e sweep: deep trees amortize the vector->scalar pop readback
-        # over more children (bunny leaf=8: K=16 673 ms, K=8 713, K=4 850);
-        # K=32 overflows real stacks and tripped a correctness cliff.
-        pops_per_iter = 16 if n_pairs >= 4096 else (
-            8 if n_pairs >= 512 else 1)
+        pops_per_iter = _auto_pops(tree)
     r, g, b = _launch(
         jnp.asarray([[seed]], jnp.int32),
         jnp.zeros((1, 2), jnp.int32),
@@ -1546,12 +1587,7 @@ def render_bvh_with_counters(
     """
     tree = _require_tree(scene, False)
     if pops_per_iter is None:
-        n_pairs = tree.pairs.shape[0]
-        # v5e sweep: deep trees amortize the vector->scalar pop readback
-        # over more children (bunny leaf=8: K=16 673 ms, K=8 713, K=4 850);
-        # K=32 overflows real stacks and tripped a correctness cliff.
-        pops_per_iter = 16 if n_pairs >= 4096 else (
-            8 if n_pairs >= 512 else 1)
+        pops_per_iter = _auto_pops(tree)
     r, g, b, ctr = _launch(
         jnp.asarray([[seed]], jnp.int32),
         jnp.zeros((1, 2), jnp.int32),
@@ -1636,9 +1672,8 @@ def make_sorted_tile_intersect(
                 "(spira_tpu.accel.pairs.attach_packed)"
             )
         pops = (
-            pops_per_iter
-            if pops_per_iter is not None
-            else (8 if packed.pairs.shape[0] >= 512 else 1)
+            pops_per_iter if pops_per_iter is not None
+            else _auto_pops(packed)
         )
         n = o.shape[0]
         if sort:

@@ -382,3 +382,54 @@ def test_bw_and_mt_forms_agree_through_kernel():
     assert np.allclose(t_mt[hit_mt], t_bw[hit_bw], atol=1e-4, rtol=1e-5)
     assert (m_mt[hit_mt] == m_bw[hit_bw]).all()
     assert np.allclose(n_mt[hit_mt], n_bw[hit_bw], atol=1e-6)
+
+
+def test_quad_records_bitwise_match_pairs():
+    """BVH2→BVH4 collapse (PackedBVH.fanout=4): quad-record traversal
+    renders bit-identically to pair records (traversal order cannot change
+    the nearest hit) at every pop batch width."""
+    import numpy as np
+
+    import spira_tpu as st
+    from spira_tpu.accel.pairs import attach_packed, traverse_packed_numpy
+    from spira_tpu.kernels.bvh_megakernel import (
+        intersect_tile,
+        render_flat_bvh_megakernel,
+    )
+    from spira_tpu.scene.scene import create_mesh_scene
+
+    base = create_mesh_scene(subdivisions=2)
+    s2 = attach_packed(base)
+    s4 = attach_packed(base, fanout=4)
+    assert s4.packed.fanout == 4
+    assert s4.packed.depth <= (s2.packed.depth + 1) // 2 + 1
+
+    rng = np.random.default_rng(3)
+    n = 8 * 128
+    o = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    o[::2] = rng.uniform(-0.6, 0.6, (n // 2, 3))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    t2, _, m2 = intersect_tile(s2.packed, o, d, interpret=True, tile_h=8,
+                               pops_per_iter=4)
+    for K in (1, 8):
+        t4, _, m4 = intersect_tile(s4.packed, o, d, interpret=True,
+                                   tile_h=8, pops_per_iter=K)
+        np.testing.assert_allclose(np.asarray(t2), np.asarray(t4),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(m2), np.asarray(m4))
+
+    cam = st.default_camera(1.0)
+    kw = dict(width=128, height=16, spp=2, max_depth=3, interpret=True,
+              tile_h=8, pops_per_iter=4)
+    a = render_flat_bvh_megakernel(s2, cam, **kw)
+    b = render_flat_bvh_megakernel(s4, cam, **kw)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # oracle agreement on the quad layout
+    for i in range(8):
+        ta = traverse_packed_numpy(s2.packed, o[i], d[i])
+        tb = traverse_packed_numpy(s4.packed, o[i], d[i])
+        fa = ta[0] if np.isfinite(ta[0]) else -1.0
+        fb = tb[0] if np.isfinite(tb[0]) else -1.0
+        assert abs(fa - fb) < 1e-5
