@@ -352,10 +352,13 @@ def tier_spectral():
             _fail(tier="spectral", scene=name,
                   engine="pallas_spectral_bvh", error=repr(e))
 
-    # spectral mesh gradients: round-over-round 1.3k row + the NEW
-    # bunny-scale row (VERDICT item 4: "no spectral bunny-tier gradient")
+    # spectral mesh gradients: round-over-round 1.3k row + a 5.1k row.
+    # The bunny-scale (73k) spectral gradient is a SEPARATE tier
+    # (--tier spectralgrad_bunny): its backward compile ran >16 min in the
+    # single-pass battery (XLA backward of a 73k-leaf spectral wavefront)
+    # and needs its own watchdog budget.
     _spectral_grad_row(lambda: _spectral_mesh_scene(3), "spectral_mesh1280")
-    _spectral_grad_row(_spectral_bunny_scene, "spectral_bunny_grad")
+    _spectral_grad_row(lambda: _spectral_mesh_scene(4), "spectral_mesh5120_grad")
 
     # spectral Cornell showcase (BASELINE config 2)
     from spira_tpu.kernels.spectral_fused import (
@@ -525,7 +528,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--tier", default="all",
                     choices=["mesh", "meshgrad", "spectral", "adaptive",
-                             "real_mesh", "all"])
+                             "real_mesh", "spectralgrad_bunny", "all"])
     args = ap.parse_args()
     t0 = time.time()
     tiers = (["mesh", "meshgrad", "spectral", "adaptive", "real_mesh"]
@@ -533,7 +536,9 @@ def main():
     for t in tiers:
         {"mesh": tier_mesh, "meshgrad": tier_meshgrad,
          "spectral": tier_spectral, "adaptive": tier_adaptive,
-         "real_mesh": tier_real_mesh}[t]()
+         "real_mesh": tier_real_mesh,
+         "spectralgrad_bunny": lambda: _spectral_grad_row(
+             _spectral_bunny_scene, "spectral_bunny_grad")}[t]()
     _record(tier="summary",
             battery_clean=bool(_FAILED_ROWS == 0),
             failed_rows=_FAILED_ROWS,

@@ -454,9 +454,13 @@ def run_config(cfg: RenderConfig) -> np.ndarray:
             mesh = make_mesh(n_tile=cfg.n_tile, n_spp=cfg.n_spp_axis)
             scene = replicate(scene, mesh)
             camera = replicate(camera, mesh)
+        gran = cfg.adaptive_granularity
+        if mesh is not None or cfg.width % 128:
+            gran = "row"  # block sets are single-device, width-128-aligned
         hdr, stats = render_adaptive(
             scene, camera, cfg, tol=cfg.adaptive_tol,
             min_spp=cfg.adaptive_min_spp, mesh=mesh, return_stats=True,
+            granularity=gran,
         )
         logger.info(
             "adaptive: %.0f%% of uniform %d spp (%d samples saved)",

@@ -45,6 +45,9 @@ class RenderConfig:
     # half-CI95 falls below this (None = uniform spp everywhere)
     adaptive_tol: Optional[float] = None
     adaptive_min_spp: int = 8
+    # retirement unit: "block" (128-px segments, block-mean CI — the knob
+    # with a real operating range) or "row" (whole rows, quantile CI)
+    adaptive_granularity: str = "block"
     # io
     output: str = "render.png"
     checkpoint_dir: Optional[str] = None
@@ -125,6 +128,10 @@ def add_render_args(p: argparse.ArgumentParser) -> None:
                    help="adaptive sampling: stop rows whose pixels' relative"
                         " luminance CI95 falls below this (--spp = cap)")
     p.add_argument("--adaptive-min-spp", type=int, default=8)
+    p.add_argument("--adaptive-granularity", default="block",
+                   choices=["block", "row"],
+                   help="adaptive retirement unit: 128-px blocks "
+                        "(block-mean CI) or whole rows (quantile CI)")
     p.add_argument("-o", "--output", default="render.png")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--checkpoint-every", type=int, default=0)
@@ -162,6 +169,7 @@ def config_from_args(args: argparse.Namespace) -> RenderConfig:
         n_spp_axis=args.n_spp_axis,
         adaptive_tol=args.adaptive_tol,
         adaptive_min_spp=args.adaptive_min_spp,
+        adaptive_granularity=args.adaptive_granularity,
         output=args.output,
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
