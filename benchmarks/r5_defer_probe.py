@@ -83,6 +83,10 @@ def main() -> None:
         "mixed+t16": dict(descent_order="mixed", tile_h=16),
         "mixed+t16k8": dict(descent_order="mixed", tile_h=16,
                             pops_per_iter=8),
+        "mixed+k24": dict(descent_order="mixed", pops_per_iter=24),
+        "mixed+k32": dict(descent_order="mixed", pops_per_iter=32),
+        "mixed+t16k32": dict(descent_order="mixed", tile_h=16,
+                             pops_per_iter=32),
     }
     names = (args.variants.split(",") if args.variants
              else ["baseline", "mixed", "defer", "defer+mixed"])

@@ -89,7 +89,30 @@ struct Task {
   int32_t node, start, end, depth;
 };
 
-void build(BuildState &st, int leaf_size) {
+// Exact-sweep threshold for row-granular builds: nodes this small get a
+// full 3-axis sorted sweep (O(n log n)) instead of 16 bins, so splits can
+// land exactly on row multiples.  Fill is decided at the bottom of the
+// tree, which is exactly where bins are too coarse to see row boundaries.
+constexpr int32_t kExactSweep = 64;
+
+inline float caxis(const Vec3 &c, int ax) {
+  return ax == 0 ? c.x : ax == 1 ? c.y : c.z;
+}
+
+// ``row`` > 0 prices children in LEAF ROWS (ceil(count/row)) instead of
+// primitives.  Motivation (round-5, v5e): the packet megakernel's leaf
+// visit costs one fixed row of ``row`` triangle tests regardless of how
+// full the leaf is (rows_per_visit is static over the whole tree), so the
+// per-primitive SAH overestimates the cost of full leaves and builds
+// under-filled ones (measured bunny mean fill 5.75/8 -> 12,680 leaves vs
+// the 9,120 minimum).  Row-granular costs make fuller leaves, fewer
+// leaves, fewer packet visits — the one lever class that has ever paid on
+// this kernel (work removal).
+void build(BuildState &st, int leaf_size, int row = 0) {
+  auto rowsf = [row](int32_t c) {
+    return row > 0 ? static_cast<float>((c + row - 1) / row)
+                   : static_cast<float>(c);
+  };
   std::vector<Task> stack;
   int32_t n = static_cast<int32_t>(st.order.size());
   int32_t root = st.alloc();
@@ -118,6 +141,50 @@ void build(BuildState &st, int leaf_size) {
     };
     if (count <= leaf_size || t.depth >= kMaxStack - 2) {
       make_leaf();
+      continue;
+    }
+
+    if (row > 0 && count <= kExactSweep) {
+      // Exact row-granular sweep: all three axes, every split position.
+      int best_axis = -1;
+      int32_t best_pos = -1;
+      float best = std::numeric_limits<float>::infinity();
+      std::vector<int32_t> idx(st.order.begin() + t.start,
+                               st.order.begin() + t.end);
+      std::vector<float> rarea(count);
+      for (int ax = 0; ax < 3; ++ax) {
+        std::sort(idx.begin(), idx.end(), [&](int32_t a, int32_t b) {
+          return caxis(st.centroid[a], ax) < caxis(st.centroid[b], ax);
+        });
+        AABB acc;
+        for (int32_t i = count - 1; i >= 1; --i) {
+          acc.grow(st.prim_box(idx[i]));
+          rarea[i] = acc.half_area();
+        }
+        acc = AABB();
+        for (int32_t i = 0; i + 1 < count; ++i) {
+          acc.grow(st.prim_box(idx[i]));
+          float c = acc.half_area() * rowsf(i + 1) +
+                    rarea[i + 1] * rowsf(count - i - 1);
+          if (c < best) {
+            best = c;
+            best_axis = ax;
+            best_pos = i + 1;
+          }
+        }
+      }
+      std::sort(st.order.begin() + t.start, st.order.begin() + t.end,
+                [&](int32_t a, int32_t b) {
+                  return caxis(st.centroid[a], best_axis) <
+                         caxis(st.centroid[b], best_axis);
+                });
+      int32_t mid = t.start + best_pos;
+      int32_t l = st.alloc(), r = st.alloc();
+      st.left[t.node] = l;
+      st.right[t.node] = r;
+      st.is_leaf[t.node] = 0;
+      stack.push_back({l, t.start, mid, t.depth + 1});
+      stack.push_back({r, mid, t.end, t.depth + 1});
       continue;
     }
 
@@ -194,18 +261,21 @@ void build(BuildState &st, int leaf_size) {
     float best_cost = std::numeric_limits<float>::infinity();
     for (int b = 0; b < kBins - 1; ++b) {
       if (left_cnt[b] == 0 || right_cnt[b] == 0) continue;
-      float cost = left_area[b] * left_cnt[b] + right_area[b] * right_cnt[b];
+      float cost = left_area[b] * rowsf(left_cnt[b]) +
+                   right_area[b] * rowsf(right_cnt[b]);
       if (cost < best_cost) {
         best_cost = cost;
         best_split = b;
       }
     }
 
-    // SAH termination: splitting must beat the leaf cost.
-    float leaf_cost = box.half_area() * count;
+    // SAH termination: splitting must beat the leaf cost.  Row mode never
+    // early-terminates into an oversize leaf: max_leaf must stay at
+    // leaf_size or rows_per_visit grows for EVERY leaf in the tree.
+    float leaf_cost = box.half_area() * rowsf(count);
     if (best_split < 0 ||
-        (count <= 2 * leaf_size && best_cost >= leaf_cost)) {
-      if (count <= 4 * leaf_size) {
+        (row == 0 && count <= 2 * leaf_size && best_cost >= leaf_cost)) {
+      if (row == 0 && count <= 4 * leaf_size) {
         make_leaf();
         continue;
       }
@@ -249,12 +319,12 @@ extern "C" {
 //   out_node_max:  (2n-1, 3) float32
 //   out_left/right/is_leaf: (2n-1,) int32
 //   out_prim_idx:  (n,) int32 — leaf-contiguous primitive permutation
-int32_t spira_build_bvh(const float *lo, const float *hi, int32_t n,
-                        int32_t leaf_size, float *out_node_min,
-                        float *out_node_max, int32_t *out_left,
-                        int32_t *out_right, int32_t *out_is_leaf,
-                        int32_t *out_prim_idx) {
-  if (n <= 0 || leaf_size <= 0) return -1;
+int32_t spira_build_bvh_rows(const float *lo, const float *hi, int32_t n,
+                             int32_t leaf_size, int32_t row,
+                             float *out_node_min, float *out_node_max,
+                             int32_t *out_left, int32_t *out_right,
+                             int32_t *out_is_leaf, int32_t *out_prim_idx) {
+  if (n <= 0 || leaf_size <= 0 || row < 0) return -1;
   BuildState st;
   st.lo = lo;
   st.hi = hi;
@@ -266,7 +336,7 @@ int32_t spira_build_bvh(const float *lo, const float *hi, int32_t n,
                       0.5f * (lo[3 * i + 2] + hi[3 * i + 2])};
     st.order[i] = i;
   }
-  build(st, leaf_size);
+  build(st, leaf_size, row);
   int32_t m = static_cast<int32_t>(st.left.size());
   if (m > 2 * n - 1 && n > 1) return -1;  // contract violation
   std::memcpy(out_node_min, st.node_min.data(), sizeof(float) * 3 * m);
@@ -276,6 +346,16 @@ int32_t spira_build_bvh(const float *lo, const float *hi, int32_t n,
   std::memcpy(out_is_leaf, st.is_leaf.data(), sizeof(int32_t) * m);
   std::memcpy(out_prim_idx, st.order.data(), sizeof(int32_t) * n);
   return m;
+}
+
+int32_t spira_build_bvh(const float *lo, const float *hi, int32_t n,
+                        int32_t leaf_size, float *out_node_min,
+                        float *out_node_max, int32_t *out_left,
+                        int32_t *out_right, int32_t *out_is_leaf,
+                        int32_t *out_prim_idx) {
+  return spira_build_bvh_rows(lo, hi, n, leaf_size, /*row=*/0, out_node_min,
+                              out_node_max, out_left, out_right, out_is_leaf,
+                              out_prim_idx);
 }
 
 }  // extern "C"

@@ -78,6 +78,24 @@ def _load_library():
         lib.spira_free.argtypes = [ctypes.c_void_p]
     except AttributeError:  # stale .so without the parser — rebuild later
         pass
+    try:
+        rf = lib.spira_build_bvh_rows
+        rf.restype = ctypes.c_int32
+        rf.argtypes = [
+            ctypes.POINTER(ctypes.c_float),  # lo
+            ctypes.POINTER(ctypes.c_float),  # hi
+            ctypes.c_int32,  # n
+            ctypes.c_int32,  # leaf_size
+            ctypes.c_int32,  # row (0 = per-primitive SAH)
+            ctypes.POINTER(ctypes.c_float),  # node_min
+            ctypes.POINTER(ctypes.c_float),  # node_max
+            ctypes.POINTER(ctypes.c_int32),  # left
+            ctypes.POINTER(ctypes.c_int32),  # right
+            ctypes.POINTER(ctypes.c_int32),  # is_leaf
+            ctypes.POINTER(ctypes.c_int32),  # prim_idx
+        ]
+    except AttributeError:  # stale .so without row-granular SAH
+        pass
     _lib = lib
     return _lib
 
@@ -114,12 +132,23 @@ def native_available() -> bool:
 
 
 def build_bvh_native(
-    lo: np.ndarray, hi: np.ndarray, leaf_size: int = LEAF_SIZE
+    lo: np.ndarray, hi: np.ndarray, leaf_size: int = LEAF_SIZE,
+    row_size: int = 0,
 ) -> FlatBVH:
-    """Binned-SAH build via the C++ library; raises if unavailable."""
+    """Binned-SAH build via the C++ library; raises if unavailable.
+
+    ``row_size`` > 0 prices SAH costs in packet-kernel leaf ROWS
+    (ceil(count/row_size)) instead of primitives, with an exact 3-axis
+    sweep for small nodes — fuller leaves, fewer packet leaf visits (the
+    kernel pays one fixed row of tests per visit)."""
     lib = _load_library()
     if lib is None:
         raise RuntimeError("native BVH builder unavailable")
+    if row_size and not hasattr(lib, "spira_build_bvh_rows"):
+        raise RuntimeError(
+            "native library is stale (no spira_build_bvh_rows); "
+            "run `make -C native clean all`"
+        )
     lo = np.ascontiguousarray(lo, np.float32)
     hi = np.ascontiguousarray(hi, np.float32)
     n = lo.shape[0]
@@ -136,11 +165,7 @@ def build_bvh_native(
     def ptr(a, t):
         return a.ctypes.data_as(ctypes.POINTER(t))
 
-    m = lib.spira_build_bvh(
-        ptr(lo, ctypes.c_float),
-        ptr(hi, ctypes.c_float),
-        n,
-        leaf_size,
+    outs = (
         ptr(node_min, ctypes.c_float),
         ptr(node_max, ctypes.c_float),
         ptr(left, ctypes.c_int32),
@@ -148,6 +173,14 @@ def build_bvh_native(
         ptr(is_leaf, ctypes.c_int32),
         ptr(prim_idx, ctypes.c_int32),
     )
+    if row_size:
+        m = lib.spira_build_bvh_rows(
+            ptr(lo, ctypes.c_float), ptr(hi, ctypes.c_float), n,
+            leaf_size, row_size, *outs)
+    else:
+        m = lib.spira_build_bvh(
+            ptr(lo, ctypes.c_float), ptr(hi, ctypes.c_float), n,
+            leaf_size, *outs)
     if m < 0:
         raise RuntimeError("native BVH build failed")
     from .bvh import add_links
@@ -165,10 +198,19 @@ def build_bvh_native(
     ))
 
 
-def build_bvh_best(lo, hi, leaf_size: int = LEAF_SIZE) -> FlatBVH:
-    """Native SAH builder when available, NumPy median-split otherwise."""
+def build_bvh_best(lo, hi, leaf_size: int = LEAF_SIZE,
+                   row_size: int = 0) -> FlatBVH:
+    """Native SAH builder when available, NumPy median-split otherwise.
+    ``row_size`` (row-granular SAH) needs the native builder; it is
+    silently ignored on the NumPy fallback (tree quality, not
+    correctness)."""
     if native_available():
-        return build_bvh_native(lo, hi, leaf_size)
+        try:
+            return build_bvh_native(lo, hi, leaf_size, row_size=row_size)
+        except RuntimeError:
+            if not row_size:
+                raise
+            return build_bvh_native(lo, hi, leaf_size)  # stale .so
     from .bvh import build_bvh
 
     return build_bvh(lo, hi, leaf_size)

@@ -83,13 +83,14 @@ def _check_stack_depth(depth: int, pops_per_iter: int,
     2*K*D (+K transient) bounds occupancy.  ``defer_leaves`` pushes leaf
     children too, adding one effective level.  Overflow would silently
     corrupt traversal through the shared _DISCARD slot."""
-    if pops_per_iter > 16:
-        # the any-hit OR-tree packs 2K bit planes into ONE int32
-        # (hits[j] << j, j < 2K): K=32 shifts past bit 31 and silently
-        # corrupts traversal (observed: image mean drift on v5e)
+    if fanout * pops_per_iter > 64:
+        # the any-hit OR-tree packs fanout*K bit planes into int32 words
+        # (32 planes per word, at most two words / two scalar extracts
+        # per batch); beyond 64 planes a third extract erases the
+        # batching win and is refused rather than silently paid
         raise ValueError(
-            f"pops_per_iter={pops_per_iter} exceeds the 16-pop limit of "
-            "the int32 any-hit bitmask reduce"
+            f"pops_per_iter={pops_per_iter} (fanout {fanout}) exceeds the "
+            "64-plane limit of the two-word any-hit bitmask reduce"
         )
     eff_depth = depth + 1 if defer_leaves else depth
     if fanout * pops_per_iter * eff_depth + pops_per_iter >= STACK_SIZE:
@@ -442,10 +443,10 @@ def run_packet_traversal(
                          "pair (16) or quad (32) record layout")
     if defer_leaves and fanout != 2:
         raise ValueError("defer_leaves supports pair records only")
-    if fanout * K > 32:
+    if fanout * K > 64:
         raise ValueError(
-            f"fanout {fanout} x pops_per_iter {K} exceeds the 32-plane "
-            "int32 any-hit bitmask"
+            f"fanout {fanout} x pops_per_iter {K} exceeds the 64-plane "
+            "two-word any-hit bitmask"
         )
     ox, oy, oz = o3
     dx, dy, dz = d3
@@ -907,21 +908,26 @@ def run_packet_traversal(
                 c1 = jnp.floor(s * np.float32(1.0 / float(_PLANE)))
                 anyhits = ((s - c1 * _PLANE) > 0.5, c1 > 0.5)
         else:
-            # bitmask OR-tree: per-lane fanout*K-bit masks folded across
-            # lanes and sublanes with rolls, one scalar extract per batch
-            m = hits[0].astype(jnp.int32)
-            for j in range(1, fanout * K):
-                m = m + (hits[j].astype(jnp.int32) << j)
-            m = jnp.where(active, m, 0)
-            for sh in (64, 32, 16, 8, 4, 2, 1):
-                m = m | pltpu.roll(m, sh, 1)
-            sh = dx.shape[0] // 2
-            while sh >= 1:
-                m = m | pltpu.roll(m, sh, 0)
-                sh //= 2
-            bits = m[0, 0]
+            # bitmask OR-tree: per-lane masks folded across lanes and
+            # sublanes with rolls — 32 bit planes per int32 word, one
+            # scalar extract per word per batch (two words at K=32)
+            n_planes = fanout * K
+            words = []
+            for g0 in range(0, n_planes, 32):
+                m = hits[g0].astype(jnp.int32)
+                for j in range(g0 + 1, min(g0 + 32, n_planes)):
+                    m = m + (hits[j].astype(jnp.int32) << (j - g0))
+                m = jnp.where(active, m, 0)
+                for sh in (64, 32, 16, 8, 4, 2, 1):
+                    m = m | pltpu.roll(m, sh, 1)
+                sh = dx.shape[0] // 2
+                while sh >= 1:
+                    m = m | pltpu.roll(m, sh, 0)
+                    sh //= 2
+                words.append(m[0, 0])
             anyhits = tuple(
-                ((bits >> j) & 1) > 0 for j in range(fanout * K)
+                ((words[j // 32] >> (j % 32)) & 1) > 0
+                for j in range(n_planes)
             )
 
         def _visitable(h):

@@ -298,3 +298,55 @@ def test_sbvh_spatial_splits_nearest_hit_parity():
         else:
             assert not np.isfinite(t2), (i, t2)
     assert hits > 10  # the ray set actually exercises geometry
+
+
+def test_row_granular_sah_parity_and_fill():
+    """Row-granular SAH (row_size=8) finds the same nearest hits as the
+    per-primitive SAH tree while packing leaves fuller (the packet kernel
+    pays one fixed 8-triangle row per leaf visit, so fill == fewer visits;
+    measured +10-13% on v5e mesh tiers)."""
+    import numpy as np
+
+    from spira_tpu.accel.bvh import build_bvh_for_triangles
+    from spira_tpu.accel.native import native_available
+    from spira_tpu.accel.pairs import pack_bvh, traverse_packed_numpy
+    from spira_tpu.scene.scene import create_mesh_scene
+
+    if not native_available():
+        import pytest
+
+        pytest.skip("native builder unavailable")
+
+    tris = create_mesh_scene(subdivisions=3).triangles
+    plain_tree = build_bvh_for_triangles(tris, leaf_size=8, row_size=0)
+    row_tree = build_bvh_for_triangles(tris, leaf_size=8, row_size=8)
+
+    def leaf_stats(tree):
+        is_leaf = np.asarray(tree.is_leaf) == 1
+        cnt = np.asarray(tree.right)[is_leaf]
+        return cnt.size, float(cnt.mean())
+
+    n_plain, fill_plain = leaf_stats(plain_tree)
+    n_row, fill_row = leaf_stats(row_tree)
+    assert fill_row > fill_plain  # fuller leaves...
+    assert n_row < n_plain  # ...hence fewer of them
+    assert int(np.asarray(row_tree.right)[
+        np.asarray(row_tree.is_leaf) == 1].max()) <= 8  # cap holds
+
+    plain = pack_bvh(plain_tree, tris)
+    rowp = pack_bvh(row_tree, tris)
+    rng = np.random.default_rng(3)
+    o = rng.uniform(-2.0, 2.0, (64, 3))
+    d = rng.normal(size=(64, 3))
+    d[::2] = rng.uniform(-0.6, 0.6, (32, 3)) - o[::2]
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    hits = 0
+    for i in range(64):
+        t1, _, m1 = traverse_packed_numpy(plain, o[i], d[i])
+        t2, _, m2 = traverse_packed_numpy(rowp, o[i], d[i])
+        if np.isfinite(t1):
+            hits += 1
+            assert abs(t1 - t2) < 1e-6 and m1 == m2, (i, t1, t2, m1, m2)
+        else:
+            assert not np.isfinite(t2), (i, t2)
+    assert hits > 10
