@@ -109,7 +109,9 @@ def _auto_pops(tree) -> int:
     """Measured auto pops_per_iter: deep trees amortize the vector->scalar
     pop readback over more children (v5e sweeps, rounds 4-5); quad records
     carry twice the children per row, so K halves at the same batch width.
-    K=32-equivalent overflows real stacks (round-4 correctness cliff)."""
+    K>16 is supported via the two-word any-hit bitmask but measured SLOWER
+    (bunny K=24: 29.5 vs 29.9 — the second scalar extract plus dummy-row
+    stranding in narrow traversal phases eat the saved roll-trees)."""
     n_pairs = tree.pairs.shape[0]
     if getattr(tree, "fanout", 2) == 4:
         return 8 if n_pairs >= 2048 else (4 if n_pairs >= 256 else 1)

@@ -89,6 +89,7 @@ def render_progressive(scene, camera, cfg: RenderConfig, mesh=None) -> np.ndarra
     )
     meter.samples_done = done
     saver = ckpt.AsyncSaver()
+    pending_save = None
 
     while done < cfg.spp:
         take = min(chunk, cfg.spp - done)
@@ -123,22 +124,30 @@ def render_progressive(scene, camera, cfg: RenderConfig, mesh=None) -> np.ndarra
                 seed=cfg.seed,
             )
         acc = acc + part
-        acc.block_until_ready()
         done += take
-        meter.update(done)
+        # Submit the PREVIOUS chunk's save only now — after this chunk's
+        # render is enqueued on the device.  The axon tunnel serializes
+        # commands, so a fetch submitted before the next dispatch blocks
+        # the device idle for the whole device→host transfer (measured:
+        # 51% config-5 overhead); fetch-behind-dispatch overlaps the
+        # transfer with this chunk's compute.
+        if pending_save is not None:
+            saver.submit(ckpt.save_render_state, cfg.checkpoint_dir,
+                         **pending_save)
+            pending_save = None
         if cfg.checkpoint_dir and done < cfg.spp:
-            # off-thread: the device→host fetch + write of this chunk's
-            # state overlaps the next chunk's render (round-5 fix for the
-            # config-5 checkpoint overhead; AsyncSaver docstring)
-            saver.submit(
-                ckpt.save_render_state,
-                cfg.checkpoint_dir,
+            pending_save = dict(
                 accumulator=acc,
                 samples_done=done,
                 seed=cfg.seed,
                 config_json=cfg.to_json(),
             )
+        acc.block_until_ready()
+        meter.update(done)
 
+    if pending_save is not None:  # single-chunk tail: nothing overlapped it
+        saver.submit(ckpt.save_render_state, cfg.checkpoint_dir,
+                     **pending_save)
     saver.wait()
     flat = acc / jnp.float32(cfg.spp)
     return np.asarray(img_io.assemble_image(flat, cfg.width, cfg.height))
