@@ -92,18 +92,49 @@ def wait_for_backend() -> str:
 _CPU_FALLBACK = False  # set by main(); trims iteration counts
 
 
-def _time(fn, iters, *args):
+def _time(fn, iters, *args, floor_s=0.0):
+    """Time ``iters`` dispatches of ``fn``; block on the last.
+
+    ``floor_s`` guards against the tunnel-wedge artifact where executes are
+    acknowledged without running (round-4 battery recorded one impossible
+    2820 Mrays/s row this way; a wedged session here once returned a
+    grad_spp=4 step in 0.22 ms — 50× past physics).  A measurement under
+    the floor is re-timed up to twice; if it stays implausible,
+    ImplausibleTiming is raised so the caller drops the field instead of
+    publishing a wedged number."""
     import jax
 
     if _CPU_FALLBACK:
         iters = min(iters, 2)
-    jax.block_until_ready(fn(*args, 0))  # warmup/compile
-    t0 = time.perf_counter()
-    out = None
-    for i in range(iters):
-        out = fn(*args, i + 1)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        floor_s = 0.0  # CPU timings are slow; the floor is a TPU bound
+
+    def once():
+        jax.block_until_ready(fn(*args, 0))  # warmup/compile
+        t0 = time.perf_counter()
+        out = None
+        for i in range(iters):
+            out = fn(*args, i + 1)
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / iters
+
+    dt = once()
+    for _ in range(2):
+        if dt >= floor_s:
+            return dt
+        print(f"implausible timing {dt * 1e3:.2f} ms < floor "
+              f"{floor_s * 1e3:.1f} ms — wedge suspected, re-timing",
+              file=sys.stderr)
+        time.sleep(5.0)
+        dt = once()
+    if dt < floor_s:
+        raise ImplausibleTiming(
+            f"{dt * 1e3:.2f} ms < physical floor {floor_s * 1e3:.1f} ms "
+            "after retries (tunnel wedge)")
+    return dt
+
+
+class ImplausibleTiming(RuntimeError):
+    pass
 
 
 def main() -> None:
@@ -161,10 +192,23 @@ def main() -> None:
 
         return lambda seed: train_step(scene.materials, jnp.int32(seed))
 
+    # Physical floors (v5e, this config): best-known exact replay is
+    # ~30 ms and grad_spp=4 ~11 ms; anything several× past those is the
+    # tunnel-wedge artifact, not a speedup.
+    FLOOR_EXACT, FLOOR_SUB = 8e-3, 2e-3
     headline_engine = "hybrid pallas-fwd/fused-bwd (exact replay)"
+    wedge_suspected = False
     try:
         step_exact = make_step("hybrid", SPP)
-        dt_exact = _time(lambda i: step_exact(i), 20)
+        try:
+            dt_exact = _time(lambda i: step_exact(i), 20,
+                             floor_s=FLOOR_EXACT)
+        except ImplausibleTiming as e:
+            wedge_suspected = True
+            print(f"headline timing implausible ({e}); publishing the "
+                  "floor-violating value WITH wedge_suspected=true",
+                  file=sys.stderr)
+            dt_exact = _time(lambda i: step_exact(i), 20)
         loss, _ = step_exact(0)
     except Exception as e:  # pragma: no cover - TPU-env guard
         print(f"hybrid grad engine unavailable ({e!r}); "
@@ -181,7 +225,7 @@ def main() -> None:
     if headline_engine.startswith("hybrid"):
         try:
             step_sub = make_step("hybrid", 4)
-            dt_sub = _time(lambda i: step_sub(i), 20)
+            dt_sub = _time(lambda i: step_sub(i), 20, floor_s=FLOOR_SUB)
         except Exception as e:  # pragma: no cover - TPU-env guard
             print(f"grad_spp=4 tier skipped ({e!r})", file=sys.stderr)
 
@@ -196,6 +240,8 @@ def main() -> None:
     }
     if dt_sub is not None:
         record["subsampled_grad_spp4"] = round(rays / dt_sub, 1)
+    if wedge_suspected:
+        record["wedge_suspected"] = True
     print(json.dumps(record), flush=True)
     print(
         f"fwd+bwd exact replay: {rays_per_sec / 1e6:.0f} Mrays/s "
@@ -210,7 +256,8 @@ def main() -> None:
     # here can't take down the (already-printed) headline JSON.
     try:
         dt_fused = _time(
-            lambda i: render_flat_fused(scene, camera, **kw, seed=i), 20)
+            lambda i: render_flat_fused(scene, camera, **kw, seed=i), 20,
+            floor_s=2e-3)
         print(f"fwd fused-xla: {rays / dt_fused / 1e6:.0f} Mrays/s "
               f"({dt_fused * 1e3:.2f} ms)", file=sys.stderr)
     except Exception as e:  # pragma: no cover - TPU-env guard
@@ -230,7 +277,7 @@ def main() -> None:
         try:
             dt_pallas = _time(
                 lambda i: render_flat_megakernel(scene, camera, **kw, seed=i),
-                20)
+                20, floor_s=1.5e-3)
             print(f"fwd pallas megakernel: {rays / dt_pallas / 1e6:.0f} "
                   f"Mrays/s ({dt_pallas * 1e3:.2f} ms)", file=sys.stderr)
         except Exception as e:  # pragma: no cover - TPU-env guard
@@ -253,6 +300,7 @@ def main() -> None:
                     mscene, mcamera, **kw, seed=i
                 ),
                 5,
+                floor_s=50e-3,
             )
             print(
                 f"fwd packet-BVH megakernel ({n_tris} tris): "
